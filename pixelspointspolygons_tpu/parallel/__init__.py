@@ -1,0 +1,21 @@
+from .mesh import (
+    DATA_AXIS,
+    all_gather_objects,
+    data_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "all_gather_objects",
+    "data_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,99 @@
+"""Device mesh + SPMD sharding helpers — the TPU-native replacement for the
+reference's DDP/NCCL runtime (reference: misc/shared_utils.py:205-230 setup_ddp,
+train/trainer.py:94-102 average_across_gpus, DistributedSampler usage in
+datasets/build_datasets.py:95,145,195).
+
+Design: one `jax.sharding.Mesh` with a `data` axis over all local (or global)
+devices. The jitted train step consumes batch arrays sharded along `data`;
+gradient averaging, loss-norm sync, and metric reduction all fall out of
+`jax.grad` + sharding-induced psums — there is no separate DDP wrapper,
+SyncBatchNorm conversion, or explicit all_reduce call. Host-side object
+gathers (COCO prediction lists) go through `all_gather_objects`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a 1-D (or reshaped N-D) mesh over available devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None and n_devices > 0:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if len(axis_names) != 1:
+        raise NotImplementedError(
+            "models are DP-only (reference has no TP/PP); use a 1-D mesh"
+        )
+    return Mesh(np.asarray(devs).reshape((n,)), axis_names)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding: leading axis split across `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host pytree of numpy arrays onto the mesh, batch-sharded.
+
+    Leading dim of every leaf must be divisible by the mesh's data-axis size
+    (the host loader pads to guarantee this).
+    """
+    sh = data_sharding(mesh)
+
+    def put(x: Any) -> Any:
+        arr = np.asarray(x)
+        return jax.device_put(arr, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def all_gather_objects(obj: Any) -> list[Any]:
+    """Gather host-side python objects across processes.
+
+    Single-process (the common case here): returns [obj]. Multi-process
+    TPU pods would route this through
+    jax.experimental.multihost_utils.process_allgather on serialized bytes.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # pad to max length across processes
+    n = np.asarray([payload.size], dtype=np.int64)
+    all_n = multihost_utils.process_allgather(n)
+    max_n = int(all_n.max())
+    padded = np.zeros((max_n,), dtype=np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out = []
+    for row, ln in zip(gathered, all_n.ravel()):
+        out.append(pickle.loads(row[: int(ln)].tobytes()))
+    return out
