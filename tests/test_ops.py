@@ -1,0 +1,267 @@
+"""Unit tests for the core ops layer (SURVEY.md §4 test-pyramid plan):
+crossfield algebra round-trips, align error on analytic fields, bilinear
+interpolation vs. manual values, AFM vs. a numpy brute-force reference,
+voxelizer first-come capacity semantics vs. naive binning, sinkhorn
+normalization properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelspointspolygons_tpu import ops
+
+
+class TestCrossfield:
+    def test_uv_c0c2_roundtrip(self, rng):
+        theta = rng.uniform(0, np.pi, size=(50,))
+        phi = theta + np.pi / 2 + rng.uniform(-0.3, 0.3, size=(50,))
+        u = np.exp(1j * theta).astype(np.complex64)
+        v = np.exp(1j * phi).astype(np.complex64)
+        c0, c2 = ops.uv_to_c0c2(jnp.asarray(u), jnp.asarray(v))
+        u2, v2 = ops.c0c2_to_uv(c0, c2)
+        # recovered pair equals {±u, ±v} as sets of squared values
+        got = np.sort(np.stack([np.asarray(u2) ** 2, np.asarray(v2) ** 2]), axis=0)
+        want = np.sort(np.stack([u**2, v**2]), axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_align_error_zero_on_field(self, rng):
+        theta = rng.uniform(0, np.pi, size=(100,))
+        u = np.exp(1j * theta).astype(np.complex64)
+        v = np.exp(1j * (theta + np.pi / 2)).astype(np.complex64)
+        c0, c2 = ops.uv_to_c0c2(jnp.asarray(u), jnp.asarray(v))
+        for z in (u, -u, v, -v):
+            err = ops.framefield_align_error(c0, c2, jnp.asarray(z))
+            np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-3)
+        # off-field direction has nonzero error
+        z_off = np.exp(1j * (theta + np.pi / 4)).astype(np.complex64)
+        err = np.asarray(ops.framefield_align_error(c0, c2, jnp.asarray(z_off)))
+        assert (err > 0.1).all()
+
+    def test_closest_in_uv(self):
+        u = jnp.asarray(np.exp(1j * 0.0).astype(np.complex64))
+        v = jnp.asarray(np.exp(1j * (np.pi / 2)).astype(np.complex64))
+        # direction along u → dot with u large, dot with v ~0 → argmin picks v? no:
+        # reference picks argmin |dot|: the axis LESS aligned... check semantics:
+        # compute_closest_in_uv returns argmin of |uv·dir| (frame_field_utils.py:66-68)
+        d_u = jnp.asarray(np.complex64(1 + 0j))
+        d_v = jnp.asarray(np.complex64(0 + 1j))
+        assert int(ops.closest_in_uv(d_u, u, v)) == 1
+        assert int(ops.closest_in_uv(d_v, u, v)) == 0
+
+    def test_laplacian_penalty_constant_is_zero(self):
+        x = jnp.ones((1, 2, 8, 8))
+        out = ops.laplacian_penalty(x)
+        np.testing.assert_allclose(np.asarray(out[:, :, 1:-1, 1:-1]), 0.0, atol=1e-6)
+
+
+class TestBilinear:
+    def test_exact_on_grid(self, rng):
+        im = jnp.asarray(rng.rand(2, 3, 5, 7).astype(np.float32))
+        pos = jnp.asarray([[2.0, 3.0], [0.0, 0.0]])
+        batch = jnp.asarray([0, 1])
+        out = np.asarray(ops.bilinear_interpolate(im, pos, batch))
+        np.testing.assert_allclose(out[0], np.asarray(im)[0, :, 2, 3], rtol=1e-6)
+        np.testing.assert_allclose(out[1], np.asarray(im)[1, :, 0, 0], rtol=1e-6)
+
+    def test_midpoint(self):
+        im = jnp.zeros((1, 1, 2, 2)).at[0, 0].set(jnp.asarray([[0.0, 1.0], [2.0, 3.0]]))
+        out = ops.bilinear_interpolate(im, jnp.asarray([[0.5, 0.5]]), jnp.asarray([0]))
+        np.testing.assert_allclose(np.asarray(out), [[1.5]], rtol=1e-6)
+
+    def test_reference_fixture(self):
+        # fixture from functionnal.py:45-71 main()
+        im = jnp.asarray(
+            np.stack(
+                [
+                    [[0, 0.5, 0, 0], [0.25, 1, 0, 0]],
+                    [[1, 1, 1, 1], [1, 1, 1, 1]],
+                    [[2, 2, 2, 2], [2, 2, 2, 2]],
+                ]
+            ).astype(np.float32)[:, None]
+        )
+        pos = jnp.asarray([[1.0, 0.0], [0.5, 0.5], [0.5, 0.5]])
+        batch = jnp.asarray([0, 1, 2])
+        out = np.asarray(ops.bilinear_interpolate(im, pos, batch))
+        np.testing.assert_allclose(out.ravel(), [0.25, 1.0, 2.0], rtol=1e-6)
+
+
+def _afm_numpy(lines, valid, H, W):
+    """Brute-force numpy reference mirroring afm.cu:29-84."""
+    B, L, _ = lines.shape
+    afmap = np.zeros((B, 2, H, W), np.float32)
+    aflabel = np.zeros((B, H, W), np.int32)
+    for b in range(B):
+        if not valid[b].any():
+            continue
+        for h in range(H):
+            for w in range(W):
+                best, bax, bay, bi = 1e30, 0, 0, 0
+                for i in range(L):
+                    if not valid[b, i]:
+                        continue
+                    x1, y1, x2, y2 = lines[b, i]
+                    dx, dy = x2 - x1, y2 - y1
+                    t = ((w - x1) * dx + (h - y1) * dy) / (dx * dx + dy * dy + 1e-6)
+                    t = min(max(t, 0.0), 1.0)
+                    ax, ay = x1 + t * dx - w, y1 + t * dy - h
+                    d = ax * ax + ay * ay
+                    if d < best:
+                        best, bax, bay, bi = d, ax, ay, i
+                enc = lambda a, s: -np.sign(a) * np.log(abs(a / s) + 1e-6)
+                afmap[b, 0, h, w] = enc(bax, W)
+                afmap[b, 1, h, w] = enc(bay, H)
+                aflabel[b, h, w] = bi
+    return afmap, aflabel
+
+
+class TestAFM:
+    def test_vs_numpy(self, rng):
+        H = W = 16
+        lines = rng.uniform(0, 16, size=(2, 5, 4)).astype(np.float32)
+        valid = np.ones((2, 5), bool)
+        valid[1, 3:] = False
+        want_map, want_lab = _afm_numpy(lines, valid, H, W)
+        got_map, got_lab = ops.afm(jnp.asarray(lines), jnp.asarray(valid), H, W, row_block=4)
+        np.testing.assert_allclose(np.asarray(got_map), want_map, rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(got_lab), want_lab)
+
+    def test_no_valid_lines(self):
+        lines = jnp.zeros((1, 3, 4))
+        valid = jnp.zeros((1, 3), bool)
+        m, l = ops.afm(lines, valid, 8, 8, row_block=8)
+        assert np.asarray(m).sum() == 0
+        assert np.asarray(l).sum() == 0
+
+
+class TestVoxelize:
+    def test_first_come_capacity(self):
+        # 6 points in the same pillar; capacity 4 → first 4 kept, in order
+        pts = np.array(
+            [[1.0, 1.0, float(i)] for i in range(6)] + [[9.0, 9.0, 0.5]], np.float32
+        )
+        valid = np.ones((7,), bool)
+        a = ops.assign_pillars(
+            jnp.asarray(pts),
+            jnp.asarray(valid),
+            width=16,
+            height=16,
+            voxel_x=8,
+            voxel_y=8,
+            max_points_per_voxel=4,
+        )
+        kept_z = np.asarray(a.points)[np.asarray(a.keep)][:, 2]
+        assert set(kept_z.tolist()) == {0.0, 1.0, 2.0, 3.0, 0.5}
+
+    def test_centroid_and_center_offsets(self):
+        pts = np.array([[2.0, 2.0, 10.0], [6.0, 6.0, 20.0]], np.float32)
+        a = ops.assign_pillars(
+            jnp.asarray(pts),
+            jnp.ones((2,), bool),
+            width=8,
+            height=8,
+            voxel_x=8,
+            voxel_y=8,
+            max_points_per_voxel=4,
+        )
+        f = np.asarray(a.features)
+        # cluster offsets: centroid = (4,4,15)
+        np.testing.assert_allclose(f[0, 3:6], [-2, -2, -5], atol=1e-5)
+        # pillar center = (4,4): offsets (x-4, y-4)
+        np.testing.assert_allclose(f[0, 6:8], [-2, -2], atol=1e-5)
+
+    def test_invalid_points_dropped(self):
+        pts = np.array([[2.0, 2.0, 1.0], [100.0, 2.0, 1.0], [3.0, 3.0, 2.0]], np.float32)
+        valid = np.array([True, True, False])
+        a = ops.assign_pillars(
+            jnp.asarray(pts),
+            jnp.asarray(valid),
+            width=16,
+            height=16,
+            voxel_x=4,
+            voxel_y=4,
+            max_points_per_voxel=8,
+        )
+        assert int(np.asarray(a.keep).sum()) == 1
+
+    def test_scatter_shape_and_maxpool(self):
+        pts = np.array([[1.0, 1.0, 0.0], [1.5, 1.0, 0.0]], np.float32)
+        a = ops.assign_pillars(
+            jnp.asarray(pts),
+            jnp.ones((2,), bool),
+            width=8,
+            height=8,
+            voxel_x=4,
+            voxel_y=4,
+            max_points_per_voxel=4,
+        )
+        feats = jnp.asarray(np.array([[1.0, -2.0], [3.0, -5.0]], np.float32))
+        # both points are in pillar 0 after sorting
+        canvas = ops.scatter_pillars(feats, a.pillar_id[:2], a.keep[:2], a.n_cells, 2, 2)
+        assert canvas.shape == (2, 2, 2)
+        np.testing.assert_allclose(np.asarray(canvas)[0, 0], [3.0, -2.0])
+        np.testing.assert_allclose(np.asarray(canvas)[1, 1], [0.0, 0.0])
+
+
+class TestSinkhorn:
+    def test_rows_cols_normalize(self, rng):
+        scores = jnp.asarray(rng.randn(2, 5, 5).astype(np.float32))
+        Z = ops.log_optimal_transport(scores, jnp.float32(1.0), iters=200)
+        P = np.exp(np.asarray(Z)) / (5 + 5)  # undo the norm multiply
+        # full coupling sums to 1
+        np.testing.assert_allclose(P.sum(axis=(1, 2)), 1.0, atol=1e-3)
+        # non-dustbin rows sum to 1/(m+n)
+        np.testing.assert_allclose(P[:, :5].sum(axis=2), 1.0 / 10, atol=1e-3)
+
+    def test_matches_torch_reference(self, rng):
+        torch = pytest.importorskip("torch")
+
+        def torch_lot(scores, alpha, iters):
+            b, m, n = scores.shape
+            one = scores.new_tensor(1)
+            ms, ns = (m * one), (n * one)
+            bins0 = alpha.expand(b, m, 1)
+            bins1 = alpha.expand(b, 1, n)
+            alpha_ = alpha.expand(b, 1, 1)
+            couplings = torch.cat(
+                [torch.cat([scores, bins0], -1), torch.cat([bins1, alpha_], 1 + 1)], 1
+            )
+            norm = -(ms + ns).log()
+            log_mu = torch.cat([norm.expand(m), ns.log()[None] + norm])
+            log_nu = torch.cat([norm.expand(n), ms.log()[None] + norm])
+            log_mu, log_nu = log_mu[None].expand(b, -1), log_nu[None].expand(b, -1)
+            u, v = torch.zeros_like(log_mu), torch.zeros_like(log_nu)
+            Z = couplings
+            for _ in range(iters):
+                u = log_mu - torch.logsumexp(Z + v.unsqueeze(1), dim=2)
+                v = log_nu - torch.logsumexp(Z + u.unsqueeze(2), dim=1)
+            return Z + u.unsqueeze(2) + v.unsqueeze(1) - norm
+
+        s = rng.randn(2, 4, 6).astype(np.float32)
+        want = torch_lot(torch.tensor(s), torch.tensor(1.0), 50).numpy()
+        got = np.asarray(ops.log_optimal_transport(jnp.asarray(s), jnp.float32(1.0), 50))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestSegment:
+    def test_rank_in_run(self):
+        ids = jnp.asarray([0, 0, 0, 2, 2, 5, 7, 7, 7, 7])
+        rank = np.asarray(ops.rank_in_run(ids))
+        np.testing.assert_array_equal(rank, [0, 1, 2, 0, 1, 0, 0, 1, 2, 3])
+
+    def test_segment_mean(self):
+        data = jnp.asarray([[1.0], [3.0], [10.0]])
+        ids = jnp.asarray([0, 0, 1])
+        out = np.asarray(ops.segment_mean(data, ids, 3))
+        np.testing.assert_allclose(out[:2], [[2.0], [10.0]])
+
+
+class TestSpatialGradient:
+    def test_linear_ramp(self):
+        H = W = 8
+        j = np.tile(np.arange(W, dtype=np.float32), (H, 1))
+        x = jnp.asarray(j[None, None])
+        g = np.asarray(ops.spatial_gradient(x))
+        # d/dj of a unit ramp = 1 (normalized Scharr), d/di = 0
+        np.testing.assert_allclose(g[0, 0, 1, 2:-2, 2:-2], 1.0, atol=1e-5)
+        np.testing.assert_allclose(g[0, 0, 0, 2:-2, 2:-2], 0.0, atol=1e-5)
