@@ -1,0 +1,110 @@
+"""Benchmark harness: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures end-to-end Pix2Poly inference (encoder + autoregressive vertex
+decode + Sinkhorn permutation head) in tiles/sec on the flagship image-only
+ViT-S/8 @224 config — the reference's headline "prediction_time [s/image]"
+harness (predict/predictor_pix2poly.py:52-54) inverted to a rate.
+
+vs_baseline is measured live on the same chip: the reference algorithm's
+decode loop (one FULL decoder re-forward per generated token with no KV
+cache, predictor_pix2poly.py:154-211) vs our lax.scan KV-cached decode.
+This isolates the algorithmic speedup from hardware differences; the CUDA
+reference publishes no absolute numbers in-repo (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pixelspointspolygons_tpu.config import compose
+    from pixelspointspolygons_tpu.models.pix2poly import (
+        Pix2Poly,
+        Tokenizer,
+        build_pix2poly,
+        greedy_generate,
+    )
+
+    cfg = compose(["experiment=p2p_image", "run_type=debug"])
+    tokenizer = Tokenizer(cfg)
+    model = build_pix2poly(cfg, tokenizer, dtype=jnp.bfloat16)
+
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    steps = tokenizer.max_len - 1
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
+    batch = {"images": images}
+
+    y0 = jnp.full((1, tokenizer.max_len), tokenizer.PAD_code, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), {"images": images[:1]}, y0[:, :-1])
+
+    gen = jax.jit(
+        lambda v, b: greedy_generate(
+            model, v, b, bos_code=tokenizer.BOS_code, generation_steps=steps
+        )
+    )
+    # NOTE: on the axon tunnel platform block_until_ready does not reliably
+    # block; host materialization (np.asarray of an output leaf) is the only
+    # trustworthy sync point, so every timing boundary materializes.
+    def run_once():
+        out = gen(variables, batch)
+        np.asarray(out[0])
+
+    run_once()  # warmup + compile
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = (time.perf_counter() - t0) / iters
+    tiles_per_sec = B / dt
+
+    # --- reference-algorithm baseline: full re-forward per generated token ---
+    enc_fn = jax.jit(lambda v, b: model.apply(v, b, method=Pix2Poly.encode))
+    dec_fn = jax.jit(
+        lambda v, e, y: model.apply(v, e, y, method=lambda m, e_, y_: m.decoder(e_, y_))
+    )
+    enc = enc_fn(variables, batch)
+    np.asarray(enc[..., 0])
+    tgt = jnp.full((B, steps), tokenizer.PAD_code, jnp.int32).at[:, 0].set(tokenizer.BOS_code)
+    np.asarray(dec_fn(variables, enc, tgt)[0][..., 0])  # compile
+    # time a slice of steps and extrapolate (the per-step cost is constant:
+    # the reference always pads tgt to full length)
+    probe = min(32, steps)
+    t0 = time.perf_counter()
+    for i in range(probe):
+        logits, _ = dec_fn(variables, enc, tgt)
+        nxt = np.argmax(np.asarray(logits[:, i]), axis=-1).astype(np.int32)
+        tgt = tgt.at[:, min(i + 1, steps - 1)].set(jnp.asarray(nxt))
+    step_t = (time.perf_counter() - t0) / probe
+    t0 = time.perf_counter()
+    np.asarray(enc_fn(variables, batch)[..., 0])
+    enc_t = time.perf_counter() - t0
+    baseline_dt = enc_t + step_t * steps
+    baseline_tiles_per_sec = B / baseline_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "pix2poly_e2e_inference",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/sec",
+                "vs_baseline": round(tiles_per_sec / baseline_tiles_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
