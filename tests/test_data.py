@@ -1,0 +1,222 @@
+"""Data pipeline tests: D4 equivariance across image/keypoints/lidar/angle
+(the replay property, SURVEY.md §7.2 stage-2 test plan), perm-matrix validity
+(the reference's check_y_perm invariants, trainer_pix2poly.py:472-492),
+synthetic dataset round-trip through all three model item builders, loader
+padding/sharding, COCO RLE round-trip."""
+
+import numpy as np
+import pytest
+
+from pixelspointspolygons_tpu.config import compose
+from pixelspointspolygons_tpu.data import augment
+from pixelspointspolygons_tpu.utils import coco as coco_utils
+
+
+class TestD4:
+    @pytest.mark.parametrize("g", augment.D4_ELEMENTS)
+    def test_image_keypoint_equivariance(self, g, rng):
+        """Moving the image then reading at transformed keypoints must equal
+        reading the original image at the original keypoints."""
+        H = W = 16
+        img = rng.rand(H, W).astype(np.float32)
+        pts = np.array([[3.0, 5.0], [10.0, 2.0], [0.0, 0.0], [15.0, 15.0]])  # (x, y)
+        img_t = augment.apply_d4_image(img, g)
+        pts_t = augment.apply_d4_keypoints(pts, g, H, W)
+        for (x, y), (xt, yt) in zip(pts, pts_t):
+            assert img[int(y), int(x)] == img_t[int(yt), int(xt)], g
+
+    @pytest.mark.parametrize("g", augment.D4_ELEMENTS)
+    def test_lidar_matches_keypoints(self, g, rng):
+        H = W = 32
+        pts = rng.uniform(0, 31, (20, 3))
+        out = augment.apply_d4_lidar(pts, g, H, W)
+        kp = augment.apply_d4_keypoints(pts[:, :2], g, H, W)
+        np.testing.assert_allclose(out[:, :2], kp)
+        np.testing.assert_allclose(out[:, 2], pts[:, 2])
+
+    @pytest.mark.parametrize("g", augment.D4_ELEMENTS)
+    def test_angle_field_equivariance(self, g):
+        """Transforming an edge's endpoints and recomputing its tangent angle
+        must match the angle-transform table."""
+        H = W = 64
+        a = np.array([[10.0, 20.0]])
+        b = np.array([[40.0, 50.0]])
+        # tangent angle in ij coords: angle(dy + i dx) mod π (ffl_gt spec)
+        def ij_angle(p, q):
+            d = (q - p)[0]
+            ang = np.angle(d[1] + 1j * d[0])
+            return ang + np.pi if ang < 0 else ang
+
+        ang0 = ij_angle(a, b)
+        at = augment.apply_d4_keypoints(a, g, H, W)
+        bt = augment.apply_d4_keypoints(b, g, H, W)
+        want = ij_angle(at, bt) % np.pi
+        got = augment.apply_d4_crossfield_angle(np.array(ang0), g) % np.pi
+        # compare as angles mod π
+        diff = abs(want - got) % np.pi
+        assert min(diff, np.pi - diff) < 1e-6, (g, want, got)
+
+
+class TestCocoUtils:
+    def test_rle_roundtrip(self, rng):
+        mask = (rng.rand(13, 17) > 0.5).astype(np.uint8)
+        rle = coco_utils.rle_encode(mask)
+        np.testing.assert_array_equal(coco_utils.rle_decode(rle), mask)
+
+    def test_seg_to_mask_square(self):
+        seg = [[2, 2, 8, 2, 8, 8, 2, 8]]
+        m = coco_utils.seg_to_mask(seg, 10, 10)
+        assert m[5, 5] == 1 and m[0, 0] == 0
+        assert m.sum() == 49  # inclusive fill of a 7x7 lattice square
+
+    def test_generate_coco_ann(self):
+        polys = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0]])]
+        anns = coco_utils.generate_coco_ann(polys, image_id=7)
+        assert anns[0]["category_id"] == 100
+        assert anns[0]["score"] == 1.0
+        assert anns[0]["area"] == pytest.approx(6.0)
+
+
+@pytest.fixture(scope="module")
+def synth_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthds")
+    import os
+
+    os.environ["P3_DATASET_ROOT"] = str(root)
+    os.environ["P3_MODEL_ROOT"] = str(root / "out")
+    cfg = compose(
+        [
+            "experiment=debug",
+            "run_type=debug",
+            "experiment.dataset.num_train=6",
+            "experiment.dataset.num_val=3",
+            "experiment.dataset.num_test=3",
+            "run_type.train_subset=null",
+            "run_type.val_subset=null",
+            "run_type.test_subset=null",
+            "experiment.encoder.max_num_points=4000",
+        ]
+    )
+    from pixelspointspolygons_tpu.data import ensure_synthetic_dataset
+
+    ensure_synthetic_dataset(cfg)
+    return cfg
+
+
+class TestSyntheticDataset:
+    def test_pix2poly_items(self, synth_cfg):
+        from pixelspointspolygons_tpu.data import P3Dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+
+        tok = Tokenizer(synth_cfg)
+        ds = P3Dataset(synth_cfg, "train", tokenizer=tok)
+        assert len(ds) == 6
+        item = ds.get_item(0, np.random.RandomState(0))
+        assert item["images"].shape == (224, 224, 3)
+        assert item["y"].shape == (tok.max_len,)
+        perm = item["y_perm"]
+        # perm is a valid permutation matrix: every row/col sums to 1
+        np.testing.assert_allclose(perm.sum(0), 1.0)
+        np.testing.assert_allclose(perm.sum(1), 1.0)
+        assert item["y"][0] == tok.BOS_code
+
+    def test_pix2poly_token_perm_consistency(self, synth_cfg):
+        """Decoding GT tokens and following the permutation must reproduce
+        closed polygons (the wireframe smoke-test, scripts/test_wireframe_loader.py)."""
+        from pixelspointspolygons_tpu.data import P3Dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+
+        tok = Tokenizer(synth_cfg)
+        ds = P3Dataset(synth_cfg, "val", tokenizer=tok)
+        item = ds.get_item(1, np.random.RandomState(0))
+        coords = tok.decode(item["y"])
+        n = len(coords)
+        if n == 0:
+            pytest.skip("empty tile")
+        perm = item["y_perm"][:n, :n]
+        succ = perm.argmax(1)
+        # every real vertex participates in a cycle that returns to it
+        seen = set()
+        for start in range(n):
+            cur, steps = start, 0
+            while steps <= n:
+                cur = int(succ[cur])
+                steps += 1
+                if cur == start:
+                    break
+            assert cur == start, "vertex not on a closed cycle"
+            seen.add(start)
+
+    def test_hisup_items(self, synth_cfg):
+        from pixelspointspolygons_tpu.config import compose as compose2
+        from pixelspointspolygons_tpu.data import P3Dataset
+
+        cfg = compose2(
+            [
+                "experiment=debug",
+                "model=hisup",
+                "run_type=debug",
+                "run_type.train_subset=null",
+                "experiment.encoder.max_num_points=4000",
+            ]
+        )
+        ds = P3Dataset(cfg, "train")
+        item = ds.get_item(0, np.random.RandomState(0))
+        assert item["mask"].shape == (224, 224)
+        jv = item["junc_valid"]
+        assert jv.sum() > 0
+        assert set(np.unique(item["junc_tags"][jv])) <= {1, 2}
+        ev = item["edges_valid"]
+        assert ev.sum() == jv.sum()  # one edge per vertex in closed rings
+
+    def test_ffl_items(self, synth_cfg):
+        from pixelspointspolygons_tpu.config import compose as compose2
+        from pixelspointspolygons_tpu.data import P3Dataset
+
+        cfg = compose2(
+            [
+                "experiment=debug",
+                "model=ffl",
+                "run_type=debug",
+                "run_type.train_subset=null",
+                "experiment.encoder.max_num_points=4000",
+            ]
+        )
+        ds = P3Dataset(cfg, "train")
+        item = ds.get_item(0, np.random.RandomState(0))
+        assert item["gt_polygons_image"].shape == (3, 224, 224)
+        assert 0.0 <= item["gt_polygons_image"].min() and item["gt_polygons_image"].max() <= 1.0
+        ang = item["gt_crossfield_angle"]
+        assert ang.shape == (1, 224, 224)
+        assert 0 <= ang.min() and ang.max() <= np.pi + 1e-6
+        assert item["class_freq"].shape == (2,)
+
+    def test_loader_padding(self, synth_cfg):
+        from pixelspointspolygons_tpu.data import Loader, P3Dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+
+        tok = Tokenizer(synth_cfg)
+        ds = P3Dataset(synth_cfg, "val", tokenizer=tok)  # 3 items
+        loader = Loader(ds, batch_size=2, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["sample_valid"].all()
+        assert batches[1]["images"].shape[0] == 2  # padded
+        assert batches[1]["sample_valid"].tolist() == [True, False]
+
+    def test_loader_epoch_shuffle_deterministic(self, synth_cfg):
+        from pixelspointspolygons_tpu.data import Loader, P3Dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+
+        tok = Tokenizer(synth_cfg)
+        ds = P3Dataset(synth_cfg, "train", tokenizer=tok)
+        lo = Loader(ds, batch_size=3, shuffle=True, seed=7)
+        lo.set_epoch(1)
+        a = [b["image_id"].tolist() for b in lo]
+        lo2 = Loader(ds, batch_size=3, shuffle=True, seed=7)
+        lo2.set_epoch(1)
+        b = [bb["image_id"].tolist() for bb in lo2]
+        assert a == b
+        lo2.set_epoch(2)
+        c = [bb["image_id"].tolist() for bb in lo2]
+        assert a != c
