@@ -232,10 +232,16 @@ class Pix2Poly(nn.Module):
             return self.encoder(batch["lidar"], batch["lidar_mask"], train=train)
         return self.encoder(batch["images"])
 
-    def perm_from_feats(self, feats, *, train: bool = False):
+    def raw_scores_from_feats(self, feats, *, train: bool = False):
+        """scorenet1 + scorenet2ᵀ — the raw matrix the predictor's Hungarian
+        assignment consumes (reference predictor_pix2poly.py:205-210 uses raw
+        scores, NOT the Sinkhorn softmax)."""
         s1 = self.scorenet1(feats, train=train)
         s2 = self.scorenet2(feats, train=train)
-        scores = s1 + jnp.transpose(s2, (0, 2, 1))
+        return s1 + jnp.transpose(s2, (0, 2, 1))
+
+    def perm_from_feats(self, feats, *, train: bool = False):
+        scores = self.raw_scores_from_feats(feats, train=train)
         Z = log_optimal_transport(
             scores.astype(jnp.float32), self.bin_score, self.sinkhorn_iterations
         )[:, : scores.shape[1], : scores.shape[2]]
@@ -259,7 +265,14 @@ class Pix2Poly(nn.Module):
         return self.decoder.decode_step(tok, pos, cache_k, cache_v, memory_kv)
 
 
-def greedy_generate(model: Pix2Poly, variables, batch, bos_code: int, generation_steps: int):
+def greedy_generate(
+    model: Pix2Poly,
+    variables,
+    batch,
+    bos_code: int,
+    generation_steps: int,
+    raw_scores: bool = False,
+):
     """KV-cached greedy decode under `lax.scan`.
 
     Produces token-identical output to the reference's full-reforward loop
@@ -291,5 +304,6 @@ def greedy_generate(model: Pix2Poly, variables, batch, bos_code: int, generation
     feats = jnp.moveaxis(feats_seq, 0, 1)  # (B, steps, D)
     if feats.shape[1] < T:
         feats = jnp.pad(feats, ((0, 0), (0, T - feats.shape[1]), (0, 0)))
-    perm = model.apply(variables, feats, method=Pix2Poly.perm_from_feats)
+    method = Pix2Poly.raw_scores_from_feats if raw_scores else Pix2Poly.perm_from_feats
+    perm = model.apply(variables, feats, method=method)
     return tokens, perm

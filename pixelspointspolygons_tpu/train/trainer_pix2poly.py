@@ -1,0 +1,118 @@
+"""Pix2Poly trainer.
+
+Capability parity with reference train/trainer_pix2poly.py:
+- AdamW(β2=0.95) + linear warmup-decay with 5% warmup (:38-77);
+- CE (pad-ignored) + BCE perm losses weighted 1/10 (:87-93);
+- teacher-forced train epoch (:284-351), val-loss epoch (:224-281);
+- every val_every epochs: greedy-decode the val split, assemble polygons,
+  evaluate IoU, track best_val_iou (:355-468). The DDP all_gather_object of
+  COCO predictions is a host-side no-op single-process (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import build_loader
+from ..eval.metrics import compute_iou_ciou
+from ..models.pix2poly import Tokenizer, build_pix2poly, greedy_generate
+from ..parallel import all_gather_objects
+from ..utils.coco import CocoIndex, generate_coco_ann
+from ..utils.logger import MetricLogger
+from .pix2poly_step import make_train_step, make_val_step
+from .state import create_train_state, linear_warmup_decay, make_optimizer, num_params
+from .trainer import Trainer
+
+
+class Pix2PolyTrainer(Trainer):
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.tokenizer = Tokenizer(cfg)
+        self.model = build_pix2poly(cfg, self.tokenizer)
+
+        self.train_loader = build_loader(cfg, "train", tokenizer=self.tokenizer)
+        self.val_loader = build_loader(cfg, "val", tokenizer=self.tokenizer)
+
+        m = cfg.experiment.model
+        steps_per_epoch = len(self.train_loader)
+        total_steps = steps_per_epoch * int(m.num_epochs)
+        schedule = linear_warmup_decay(float(m.learning_rate), total_steps, 0.05)
+        tx = make_optimizer("adamw", schedule, weight_decay=float(m.weight_decay), b2=0.95)
+
+        sample = next(iter(self.val_loader))
+        init_inputs = {
+            k: jnp.asarray(sample[k][:2])
+            for k in ("images", "lidar", "lidar_mask")
+            if k in sample
+        }
+        variables = self.model.init(
+            jax.random.PRNGKey(0), init_inputs, jnp.asarray(sample["y"][:2, :-1])
+        )
+        self.state = create_train_state(self.model, variables, tx)
+        self.maybe_resume()
+        self.state = self.replicate(self.state)
+        self.logger.info(f"model has {num_params(self.state.params)/1e6:.2f}M params")
+
+        vw = float(m.vertex_loss_weight)
+        pw = float(m.perm_loss_weight)
+        self._train_step = make_train_step(self.model, vw, pw, self.tokenizer.PAD_code)
+        self._val_step = make_val_step(self.model, vw, pw, self.tokenizer.PAD_code)
+
+        from ..predict.predictor_pix2poly import Pix2PolyPredictor
+
+        self._predictor = Pix2PolyPredictor.__new__(Pix2PolyPredictor)
+        # share model/tokenizer without re-loading checkpoints
+        self._predictor.cfg = cfg
+        self._predictor.logger = self.logger
+        self._predictor.tokenizer = self.tokenizer
+        self._predictor.model = self.model
+        self._predictor.mesh = self.mesh
+        self._predictor._gen = jax.jit(
+            lambda v, b: greedy_generate(
+                self.model,
+                v,
+                b,
+                bos_code=self.tokenizer.BOS_code,
+                generation_steps=int(cfg.experiment.model.tokenizer.generation_steps),
+                raw_scores=True,
+            )
+        )
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        meter = MetricLogger()
+        for batch in self.train_loader:
+            step_rng = jax.random.fold_in(self.rng, int(self.state.step))
+            self.state, metrics = self._train_step(self.state, self.shard(batch), step_rng)
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def val_one_epoch(self, epoch: int) -> dict:
+        meter = MetricLogger()
+        for batch in self.val_loader:
+            metrics = self._val_step(self.state, self.shard(batch))
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def predict_and_eval(self, epoch: int) -> float:
+        """Greedy-decode the val split and compute mask IoU (val mode)."""
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        predictions: list[dict] = []
+        for batch in self.val_loader:
+            polys, _ = self._predictor.predict_batch(variables, batch)
+            for b, image_polys in enumerate(polys):
+                if not batch["sample_valid"][b]:
+                    continue
+                predictions.extend(generate_coco_ann(image_polys, int(batch["image_id"][b])))
+        gathered = [p for chunk in all_gather_objects(predictions) for p in chunk]
+        gt = CocoIndex(self.cfg.experiment.dataset.annotations["val"])
+        dt = gt.load_res(gathered)
+        results = compute_iou_ciou(gt, dt)
+        self.logger.info(
+            f"epoch {epoch} val IoU={results['IoU']:.4f} C-IoU={results['C-IoU']:.4f}"
+        )
+        return float(results["IoU"])

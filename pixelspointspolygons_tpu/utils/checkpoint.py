@@ -1,0 +1,106 @@
+"""Checkpointing with the reference's save/restore policy on orbax.
+
+Policy parity (reference train/trainer.py:109-201): checkpoints named
+best_val_loss / best_val_iou / latest / epoch_%d; payload carries params,
+batch_stats, opt_state, epoch, best metrics, and the resolved config (for
+the modality-compatibility check on resume, trainer.py:176-188).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config.engine import Config, to_yaml
+import yaml
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str):
+        self.ckpt_dir = os.path.join(os.path.abspath(output_dir), "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.ckpt_dir, str(name))
+
+    def save(self, name: str, state, epoch: int, cfg=None, extra: Optional[dict] = None) -> None:
+        payload = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }
+        if state.batch_stats is not None:
+            payload["batch_stats"] = jax.device_get(state.batch_stats)
+        for k, v in (extra or {}).items():
+            payload[k] = np.asarray(v)
+        path = self.path(name)
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+        if cfg is not None:
+            with open(os.path.join(path, "config.yaml"), "w") as f:
+                f.write(to_yaml(cfg))
+
+    def restore(self, name: str) -> dict:
+        path = self.path(name)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"checkpoint {name!r} not found under {self.ckpt_dir}")
+        payload = self._ckptr.restore(path)
+        cfg_file = os.path.join(path, "config.yaml")
+        if os.path.isfile(cfg_file):
+            with open(cfg_file) as f:
+                payload["cfg"] = Config.from_dict(yaml.safe_load(f))
+        return payload
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def check_modality_compat(self, ckpt_cfg, cfg) -> None:
+        """Refuse to load weights across modality mismatches (trainer.py:176-188)."""
+        if ckpt_cfg is None:
+            return
+        a = ckpt_cfg.get_path("experiment.encoder.use_images"), ckpt_cfg.get_path(
+            "experiment.encoder.use_lidar"
+        )
+        b = cfg.get_path("experiment.encoder.use_images"), cfg.get_path(
+            "experiment.encoder.use_lidar"
+        )
+        if a != b:
+            raise ValueError(
+                f"checkpoint modality {a} does not match config modality {b}"
+            )
+
+
+def save_best_and_latest(
+    manager: CheckpointManager,
+    state,
+    epoch: int,
+    cfg,
+    val_loss: float,
+    val_iou: Optional[float],
+    best: dict,
+    save_every: int = 10,
+) -> dict:
+    """The reference's best/latest/epoch_N policy (trainer.py:126-148)."""
+    extra = {
+        "best_val_loss": best.get("val_loss", np.inf),
+        "best_val_iou": best.get("val_iou", 0.0),
+    }
+    if cfg.training.save_latest:
+        manager.save("latest", state, epoch, cfg, extra)
+    if cfg.training.save_best and val_loss < best.get("val_loss", np.inf):
+        best["val_loss"] = float(val_loss)
+        extra["best_val_loss"] = best["val_loss"]
+        manager.save("best_val_loss", state, epoch, cfg, extra)
+    if cfg.training.save_best and val_iou is not None and val_iou > best.get("val_iou", 0.0):
+        best["val_iou"] = float(val_iou)
+        extra["best_val_iou"] = best["val_iou"]
+        manager.save("best_val_iou", state, epoch, cfg, extra)
+    if save_every and epoch % save_every == 0:
+        manager.save(f"epoch_{epoch}", state, epoch, cfg, extra)
+    return best

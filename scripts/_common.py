@@ -1,0 +1,17 @@
+"""Shared script bootstrap: sys.path setup + CLI override parsing.
+
+The scripts keep the reference's hydra-style CLI surface
+(`python scripts/train.py experiment=p2p_fusion checkpoint=latest
++image_file=...`); overrides go straight to the config engine's compose().
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pixelspointspolygons_tpu.config import compose  # noqa: E402
+
+
+def compose_from_argv():
+    return compose(sys.argv[1:])

@@ -1,0 +1,141 @@
+"""Evaluation battery tests: COCOEval on constructed cases with known AP,
+IoU/C-IoU conventions (empty-empty = 1), POLIS/Chamfer/Hausdorff on exact
+geometric fixtures, MTA on aligned vs rotated polygons."""
+
+import numpy as np
+import pytest
+
+from pixelspointspolygons_tpu.eval import (
+    COCOEval,
+    calc_iou,
+    compute_iou_ciou,
+    compute_mta,
+    compute_point_metrics,
+)
+from pixelspointspolygons_tpu.utils.coco import CocoIndex, generate_coco_ann
+
+
+def make_gt(polys_per_img: dict[int, list], size: int = 64) -> CocoIndex:
+    images = [
+        {"id": i, "width": size, "height": size, "file_name": f"{i}.png"}
+        for i in polys_per_img
+    ]
+    anns = []
+    aid = 1
+    for img_id, polys in polys_per_img.items():
+        for a in generate_coco_ann(polys, img_id):
+            a["id"] = aid
+            a["iscrowd"] = 0
+            aid += 1
+            anns.append(a)
+    return CocoIndex(
+        {"images": images, "annotations": anns, "categories": [{"id": 100, "name": "b"}]}
+    )
+
+
+SQ1 = np.array([[8.0, 8.0], [24.0, 8.0], [24.0, 24.0], [8.0, 24.0]])
+SQ2 = np.array([[40.0, 40.0], [56.0, 40.0], [56.0, 56.0], [40.0, 56.0]])
+
+
+class TestCocoEval:
+    def test_perfect_predictions(self):
+        gt = make_gt({1: [SQ1, SQ2], 2: [SQ1]})
+        dt = gt.load_res(generate_coco_ann([SQ1, SQ2], 1) + generate_coco_ann([SQ1], 2))
+        stats = COCOEval(gt, dt).run()
+        assert stats["AP"] == pytest.approx(1.0)
+        assert stats["AP50"] == pytest.approx(1.0)
+        assert stats["AR100"] == pytest.approx(1.0)
+
+    def test_half_recall(self):
+        gt = make_gt({1: [SQ1, SQ2]})
+        dt = gt.load_res(generate_coco_ann([SQ1], 1))
+        stats = COCOEval(gt, dt).run()
+        # one of two GTs found at precision 1 → AP ≈ 0.5 (101-pt grid)
+        assert stats["AP"] == pytest.approx(0.505, abs=0.01)
+        assert stats["AR100"] == pytest.approx(0.5)
+
+    def test_no_predictions(self):
+        gt = make_gt({1: [SQ1]})
+        dt = gt.load_res([])
+        stats = COCOEval(gt, dt).run()
+        assert stats["AP"] == pytest.approx(0.0)
+
+    def test_small_area_bucket(self):
+        tiny = np.array([[2.0, 2.0], [10.0, 2.0], [10.0, 10.0], [2.0, 10.0]])  # area 64 < 32²
+        gt = make_gt({1: [tiny]})
+        dt = gt.load_res(generate_coco_ann([tiny], 1))
+        stats = COCOEval(gt, dt).run()
+        assert stats["AP_small"] == pytest.approx(1.0)
+        assert stats["AP_medium"] == -1.0  # no medium GT → undefined
+
+
+class TestIoU:
+    def test_both_empty_is_one(self):
+        assert calc_iou(np.zeros((4, 4), bool), np.zeros((4, 4), bool)) == 1.0
+
+    def test_perfect(self):
+        gt = make_gt({1: [SQ1]})
+        dt = gt.load_res(generate_coco_ann([SQ1], 1))
+        r = compute_iou_ciou(gt, dt)
+        assert r["IoU"] == pytest.approx(1.0, abs=1e-6)
+        assert r["C-IoU"] == pytest.approx(1.0, abs=1e-6)
+        assert r["NR"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_vertex_count_penalty(self):
+        gt = make_gt({1: [SQ1]})
+        # same shape but 8 vertices (split edges) → same IoU, lower NR
+        dense = np.array(
+            [[8, 8], [16, 8], [24, 8], [24, 16], [24, 24], [16, 24], [8, 24], [8, 16]],
+            float,
+        )
+        dt = gt.load_res(generate_coco_ann([dense], 1))
+        r = compute_iou_ciou(gt, dt)
+        assert r["IoU"] == pytest.approx(1.0, abs=1e-6)
+        assert r["NR"] == pytest.approx(1 - 4 / 12, abs=1e-6)
+        assert r["C-IoU"] < r["IoU"]
+
+
+class TestPointMetrics:
+    def test_identical_polygons(self):
+        gt = make_gt({1: [SQ1]})
+        dt = gt.load_res(generate_coco_ann([SQ1], 1))
+        r = compute_point_metrics(gt, dt)
+        assert r["polis"] == pytest.approx(0.0, abs=1e-9)
+        assert r["hausdorff"] == pytest.approx(0.0, abs=1e-9)
+        assert r["num_matched"] == 1
+
+    def test_shifted_square(self):
+        gt = make_gt({1: [SQ1]})
+        shifted = SQ1 + np.array([2.0, 0.0])
+        dt = gt.load_res(generate_coco_ann([shifted], 1))
+        r = compute_point_metrics(gt, dt)
+        # 2px right shift of a 16px square: left/right vertices are 2px from
+        # the other boundary; top/bottom edges overlap partially
+        assert 0.5 < r["polis"] <= 2.0
+        assert r["hausdorff"] == pytest.approx(2.0 * 0.25, abs=1e-6)  # meters
+
+
+class TestMTA:
+    def test_identical_is_zero(self):
+        gt = make_gt({1: [SQ1]})
+        dt = gt.load_res(generate_coco_ann([SQ1], 1))
+        r = compute_mta(gt, dt)
+        assert r["mta"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_shifted_square_bounded(self):
+        # a translated square's MTA is small-but-nonzero: samples straddling
+        # corners project across the GT corner (inherent to the metric)
+        gt = make_gt({1: [SQ1]})
+        dt = gt.load_res(generate_coco_ann([SQ1 + 0.5], 1))
+        r = compute_mta(gt, dt)
+        assert 0.0 <= r["mta"] < 46.0
+
+    def test_rotated_square_has_angle(self):
+        gt = make_gt({1: [SQ1]})
+        c = SQ1.mean(0)
+        ang = np.deg2rad(10)
+        R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        rot = (SQ1 - c) @ R.T + c
+        dt = gt.load_res(generate_coco_ann([rot], 1))
+        r = compute_mta(gt, dt)
+        assert 5.0 < r["mta"] < 46.0
