@@ -1,0 +1,153 @@
+"""HiSup host-side polygonization: mask components → lattice boundary
+tracing → junction snapping → angle simplification.
+
+Behavioral spec (reference models/hisup/polygon.py, re-implemented on
+cv2/numpy without skimage/shapely):
+- per connected component of (remask > 0.5): trace the pixel-boundary
+  polygon on the half-integer lattice (ext_c_to_poly_coco :56-69 — the mask
+  is dilated one pixel down-right so contour coordinates land on pixel
+  corners, then diagonal steps are squared off, diagonal_to_square :71-95);
+- inner contours (holes, area ≥ 50) traced analogously (:97-109);
+- boundary vertices within 5 px of a predicted junction are snapped to the
+  (order-preserved, deduplicated) junction sequence when >2 match (:158-164);
+- near-collinear vertices (<10° direction change) are dropped
+  (simple_polygon :111-125);
+- component score = mean remask probability over the component.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+from scipy.spatial.distance import cdist
+
+
+def diagonal_to_square(poly: np.ndarray) -> np.ndarray:
+    """Insert lattice corners so every step is axis-aligned (closed input)."""
+    out = []
+    for i, p in enumerate(poly[:-1]):
+        q = poly[i + 1]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        if abs(dx) + abs(dy) <= 1:
+            out.append(p)
+        elif dx == 1 and dy == 1:
+            out.append(p)
+            out.append([p[0] + 1, p[1]])
+        elif dx == -1 and dy == -1:
+            out.append(p)
+            out.append([p[0] - 1, p[1]])
+        elif dx == 1 and dy == -1:
+            out.append(p)
+            out.append([p[0], p[1] - 1])
+        else:
+            out.append(p)
+            out.append([p[0], p[1] + 1])
+    out = np.asarray(out)
+    return np.concatenate([out, out[:1]], axis=0)
+
+
+def ext_contour_to_poly(contour: np.ndarray, im_h: int, im_w: int) -> np.ndarray:
+    mask = np.zeros((im_h + 1, im_w + 1), np.uint8)
+    cv2.drawContours(mask, [contour.reshape(-1, 1, 2).astype(np.int32)], -1, 1, -1)
+    t = mask.copy()
+    fy, fx = np.where(mask == 1)
+    t[np.minimum(fy + 1, im_h), fx] = 1
+    t[fy, np.minimum(fx + 1, im_w)] = 1
+    t[np.minimum(fy + 1, im_h), np.minimum(fx + 1, im_w)] = 1
+    cs, _ = cv2.findContours(t, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    c = cs[0].reshape(-1, 2)
+    poly = np.concatenate([c, c[:1]], axis=0)
+    return diagonal_to_square(poly)
+
+
+def inn_contour_to_poly(contour: np.ndarray, im_h: int, im_w: int) -> np.ndarray:
+    mask = np.zeros((im_h + 1, im_w + 1), np.uint8)
+    cv2.drawContours(mask, [contour.reshape(-1, 1, 2).astype(np.int32)], -1, 1, -1)
+    t = mask.copy()
+    fy, fx = np.where(mask == 1)
+    t[fy[fy == fy.min()], fx[fy == fy.min()]] = 0
+    t[fy[fx == fx.min()], fx[fx == fx.min()]] = 0
+    cs, _ = cv2.findContours(t, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    if not cs:
+        return np.zeros((0, 2))
+    c = cs[0].reshape(-1, 2)[::-1]
+    poly = np.concatenate([c, c[:1]], axis=0)
+    return diagonal_to_square(poly)
+
+
+def simple_polygon(poly: np.ndarray, thres: float = 10.0) -> np.ndarray:
+    """Drop vertices whose incident edges differ by < thres degrees."""
+    if len(poly) >= 2 and (poly[0] == poly[-1]).all():
+        poly = poly[:-1]
+    if len(poly) < 3:
+        return np.concatenate([poly, poly[:1]], axis=0) if len(poly) else poly
+    vec0 = np.roll(poly, -1, axis=0) - poly
+    vec1 = np.roll(vec0, -1, axis=0)
+    a0 = np.degrees(np.arctan2(vec0[:, 1], vec0[:, 0]))
+    a1 = np.degrees(np.arctan2(vec1[:, 1], vec1[:, 0]))
+    ang = np.abs(a0 - a1)
+    keep = np.roll((ang > thres) & (ang < 360 - thres), 1, axis=0)
+    out = poly[keep]
+    if len(out) == 0:
+        return np.zeros((0, 2))
+    return np.concatenate([out, out[:1]], axis=0)
+
+
+def snap_to_junctions(poly: np.ndarray, junctions: np.ndarray) -> np.ndarray:
+    """Replace a traced boundary with the ordered nearby-junction cycle."""
+    if len(junctions) == 0 or len(poly) == 0:
+        return poly
+    d = cdist(poly, junctions)
+    match = d.argmin(1)
+    dist = d[np.arange(len(match)), match]
+    close = match[dist < 5]
+    u, ind = np.unique(close, return_index=True)
+    if len(u) > 2:
+        pp = junctions[u[np.argsort(ind)]]
+        return np.concatenate([pp, pp[:1]], axis=0)
+    return poly
+
+
+def polygons_from_masks(
+    remask: np.ndarray, junctions: np.ndarray, min_hole_area: float = 50.0
+) -> tuple[list[np.ndarray], list[float]]:
+    """remask: (H, W) prob map; junctions: (J, 2) xy. Returns (rings, scores);
+    rings are open (x, y) polygons, exterior rings only in ring list, holes
+    appended as separate rings (matching the reference's flat 'poly' output)."""
+    H, W = remask.shape
+    binary = (remask > 0.5).astype(np.uint8)
+    n, labels = cv2.connectedComponents(binary)
+    polys: list[np.ndarray] = []
+    scores: list[float] = []
+    for comp in range(1, n):
+        comp_mask = (labels == comp).astype(np.uint8)
+        if comp_mask.sum() == 0:
+            continue
+        score = float(remask[comp_mask > 0].mean())
+        contours, hierarchy = cv2.findContours(
+            comp_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_NONE
+        )
+        if hierarchy is None:
+            continue
+        comp_rings: list[np.ndarray] = []
+        for contour, h in zip(contours, hierarchy[0]):
+            contour = contour.reshape(-1, 2)
+            if h[3] == -1:
+                ring = ext_contour_to_poly(contour, H, W)
+            else:
+                if cv2.contourArea(contour.astype(np.int32)) < min_hole_area:
+                    continue
+                ring = inn_contour_to_poly(contour, H, W)
+            if len(ring) <= 3:
+                continue
+            ring = snap_to_junctions(ring.astype(np.float64), junctions)
+            ring = simple_polygon(ring, thres=10)
+            if len(ring) > 3:
+                comp_rings.append(ring[:-1])  # open ring
+        if comp_rings:
+            polys.append(comp_rings[0])
+            scores.append(score)
+            for hole in comp_rings[1:]:
+                polys.append(hole)
+                scores.append(score)
+    return polys, scores

@@ -1,0 +1,152 @@
+"""HiSup trainer: AdamW + cosine schedule, 5-term weighted loss
+(reference train/trainer_hisup.py:31-63 LossReducer + optimizer recipe),
+val-epoch IoU via the full polygonization path."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import build_loader
+from ..eval.metrics import compute_iou_ciou
+from ..models.hisup.factory import build_hisup
+from ..models.hisup.model import encode_targets, hisup_losses
+from ..parallel import all_gather_objects
+from ..utils.coco import CocoIndex, generate_coco_ann
+from ..utils.logger import MetricLogger
+from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
+from .trainer import Trainer
+
+
+class HiSupTrainer(Trainer):
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.model = build_hisup(cfg)
+        self.train_loader = build_loader(cfg, "train")
+        self.val_loader = build_loader(cfg, "val")
+
+        m = cfg.experiment.model
+        total_steps = len(self.train_loader) * int(m.num_epochs)
+        schedule = cosine_with_warmup(float(m.learning_rate), total_steps)
+        tx = make_optimizer("adamw", schedule, weight_decay=float(m.weight_decay))
+
+        sample = next(iter(self.val_loader))
+        init_inputs = {
+            k: jnp.asarray(sample[k][:2])
+            for k in ("images", "lidar", "lidar_mask")
+            if k in sample
+        }
+        variables = self.model.init(jax.random.PRNGKey(0), init_inputs)
+        self.state = create_train_state(self.model, variables, tx)
+        self.maybe_resume()
+        self.state = self.replicate(self.state)
+        self.logger.info(f"model has {num_params(self.state.params)/1e6:.2f}M params")
+
+        weights = {k: float(v) for k, v in m.loss_weights.items()}
+        size = int(m.decoder.in_feature_size)
+        model = self.model
+
+        @jax.jit
+        def train_step(state, batch):
+            targets = encode_targets(batch, size)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                outputs, mut = model.apply(
+                    variables,
+                    {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                losses = hisup_losses(outputs, targets)
+                total = sum(weights[k] * v for k, v in losses.items())
+                return total, (mut.get("batch_stats"), losses)
+
+            (loss, (bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads=grads)
+            if bs is not None:
+                state = state.replace(batch_stats=bs)
+            return state, {"loss": loss, **losses}
+
+        @jax.jit
+        def val_step(state, batch):
+            targets = encode_targets(batch, size)
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outputs = model.apply(
+                variables,
+                {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
+                train=False,
+            )
+            losses = hisup_losses(outputs, targets)
+            total = sum(weights[k] * v for k, v in losses.items())
+            return {"loss": total, **losses}
+
+        self._train_step = train_step
+        self._val_step = val_step
+
+        from ..predict.predictor_hisup import HiSupPredictor
+
+        self._predictor = HiSupPredictor.__new__(HiSupPredictor)
+        self._predictor.cfg = cfg
+        self._predictor.logger = self.logger
+        self._predictor.model = self.model
+        self._predictor.mesh = self.mesh
+        self._predictor.in_size = int(cfg.experiment.encoder.in_size)
+        from ..models.hisup.model import HiSup, extract_junctions
+
+        @jax.jit
+        def forward(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            jloc_sm = jax.nn.softmax(out["jloc"], axis=1)
+            joff = jax.nn.sigmoid(out["joff"]) - 0.5
+            remask = jax.nn.softmax(out["remask"], axis=1)[:, 1]
+            juncs, scores = extract_junctions(jloc_sm, joff)
+            return remask, juncs, scores
+
+        self._predictor._forward = forward
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        meter = MetricLogger()
+        for batch in self.train_loader:
+            self.state, metrics = self._train_step(self.state, self.shard(batch))
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def val_one_epoch(self, epoch: int) -> dict:
+        meter = MetricLogger()
+        for batch in self.val_loader:
+            metrics = self._val_step(self.state, self.shard(batch))
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def predict_and_eval(self, epoch: int) -> float:
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        predictions: list[dict] = []
+        for batch in self.val_loader:
+            polys, scores = self._predictor.predict_batch(variables, batch)
+            for b in range(len(polys)):
+                if not batch["sample_valid"][b]:
+                    continue
+                predictions.extend(
+                    generate_coco_ann(polys[b], int(batch["image_id"][b]), scores[b])
+                )
+        gathered = [p for chunk in all_gather_objects(predictions) for p in chunk]
+        gt = CocoIndex(self.cfg.experiment.dataset.annotations["val"])
+        dt = gt.load_res(gathered)
+        results = compute_iou_ciou(gt, dt)
+        self.logger.info(
+            f"epoch {epoch} val IoU={results['IoU']:.4f} C-IoU={results['C-IoU']:.4f}"
+        )
+        return float(results["IoU"])

@@ -10,6 +10,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# the axon TPU sitecustomize force-registers jax_platforms=axon; honor an
+# explicit JAX_PLATFORMS env (e.g. CPU smoke runs)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from pixelspointspolygons_tpu.config import compose  # noqa: E402
 
 

@@ -1,0 +1,164 @@
+"""HiSup tests: on-device target encoding vs hand values, loss shapes,
+tiny-model train step smoke, junction extraction NMS/topk semantics, host
+polygonization on synthetic masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelspointspolygons_tpu.models.hisup import (
+    HiSup,
+    encode_targets,
+    extract_junctions,
+    hisup_losses,
+)
+from pixelspointspolygons_tpu.predict.hisup_polygon import (
+    polygons_from_masks,
+    simple_polygon,
+)
+
+
+def tiny_batch(size=32, B=2):
+    juncs = np.zeros((B, 8, 2), np.float32)
+    tags = np.zeros((B, 8), np.int32)
+    valid = np.zeros((B, 8), bool)
+    juncs[0, 0] = [5.25, 7.75]
+    juncs[0, 1] = [20.0, 20.5]
+    tags[0, :2] = [2, 1]
+    valid[0, :2] = True
+    edges = np.zeros((B, 8, 4), np.float32)
+    evalid = np.zeros((B, 8), bool)
+    edges[0, 0] = [5.25, 7.75, 20.0, 20.5]
+    evalid[0, 0] = True
+    mask = np.zeros((B, size, size), np.float32)
+    mask[0, 5:20, 5:20] = 1
+    return {
+        "junctions": jnp.asarray(juncs),
+        "junc_tags": jnp.asarray(tags),
+        "junc_valid": jnp.asarray(valid),
+        "edges": jnp.asarray(edges),
+        "edges_valid": jnp.asarray(evalid),
+        "mask": jnp.asarray(mask),
+    }
+
+
+class TestTargets:
+    def test_encode_targets(self):
+        t = encode_targets(tiny_batch(), 32)
+        jloc = np.asarray(t["jloc"])
+        assert jloc[0, 7, 5] == 2  # convex at (y=7, x=5)
+        assert jloc[0, 20, 20] == 1
+        assert jloc[1].sum() == 0
+        joff = np.asarray(t["joff"])
+        np.testing.assert_allclose(joff[0, 0, 7, 5], 5.25 - 5 - 0.5, atol=1e-6)
+        np.testing.assert_allclose(joff[0, 1, 7, 5], 7.75 - 7 - 0.5, atol=1e-6)
+        assert t["afmap"].shape == (2, 2, 32, 32)
+        # sample-1 has no edges → zero afm
+        assert np.asarray(t["afmap"])[1].sum() == 0
+
+    def test_losses_finite(self, key):
+        t = encode_targets(tiny_batch(), 32)
+        outputs = {
+            "jloc": jnp.zeros((2, 3, 32, 32)),
+            "joff": jnp.zeros((2, 2, 32, 32)),
+            "mask": jnp.zeros((2, 2, 32, 32)),
+            "afm": jnp.zeros((2, 2, 32, 32)),
+            "remask": jnp.zeros((2, 2, 32, 32)),
+        }
+        losses = hisup_losses(outputs, t)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
+
+class TestModel:
+    def test_forward_and_grad(self, key):
+        model = HiSup(
+            encoder_cfg={
+                "name": "vit_cnn",
+                "img_size": 32,
+                "patch_size": 8,
+                "dim": 32,
+                "depth": 1,
+                "num_heads": 2,
+                "out_size": 32,
+            },
+            dim=32,
+            pred_size=32,
+        )
+        batch = {"images": jnp.zeros((2, 32, 32, 3))}
+        variables = model.init(key, batch)
+        out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+        assert out["jloc"].shape == (2, 3, 32, 32)
+        assert out["remask"].shape == (2, 2, 32, 32)
+
+        targets = encode_targets(tiny_batch(), 32)
+
+        def loss_fn(params):
+            o, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return sum(hisup_losses(o, targets).values())
+
+        g = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+    def test_hrnet_encoder(self, key):
+        model = HiSup(
+            encoder_cfg={"name": "hrnet", "in_size": 32, "width": 8, "blocks_per_stage": 1},
+            dim=32,
+            pred_size=32,
+        )
+        batch = {"images": jnp.zeros((1, 32, 32, 3))}
+        variables = model.init(key, batch)
+        out = model.apply(variables, batch, train=False)
+        assert out["mask"].shape == (1, 2, 32, 32)
+
+
+class TestJunctionExtraction:
+    def test_peak_found_with_offset(self):
+        jloc = np.zeros((1, 3, 16, 16), np.float32)
+        jloc[0, 2, 5, 9] = 5.0  # convex logit peak at (y=5, x=9)
+        joff = np.zeros((1, 2, 16, 16), np.float32)
+        joff[0, 0, 5, 9] = 0.25
+        joff[0, 1, 5, 9] = -0.25
+        sm = jax.nn.softmax(jnp.asarray(jloc), axis=1)
+        pts, scores = extract_junctions(sm, jnp.asarray(joff), topk=4)
+        pts = np.asarray(pts[0])
+        scores = np.asarray(scores[0])
+        best = pts[np.argmax(scores)]
+        np.testing.assert_allclose(best, [9 + 0.25 + 0.5, 5 - 0.25 + 0.5], atol=1e-5)
+
+
+class TestHostPolygonization:
+    def test_square_mask(self):
+        mask = np.zeros((64, 64), np.float32)
+        mask[10:30, 10:30] = 0.9
+        polys, scores = polygons_from_masks(mask, np.zeros((0, 2)))
+        assert len(polys) == 1
+        p = polys[0]
+        # traced boundary simplifies to ~4 corners of the pixel square
+        assert 4 <= len(p) <= 8
+        assert scores[0] == pytest.approx(0.9, abs=1e-5)
+        assert p[:, 0].min() >= 9 and p[:, 0].max() <= 31
+
+    def test_junction_snapping(self):
+        mask = np.zeros((64, 64), np.float32)
+        mask[10:30, 10:30] = 1.0
+        juncs = np.array(
+            [[10.6, 10.4], [29.5, 10.5], [29.5, 29.5], [10.5, 29.5]], np.float64
+        )
+        polys, _ = polygons_from_masks(mask, juncs)
+        assert len(polys) == 1
+        # snapped exactly to the provided junctions
+        for j in juncs:
+            assert (np.abs(polys[0] - j).sum(1) < 1e-9).any()
+
+    def test_simple_polygon_collinear(self):
+        poly = np.array([[0, 0], [5, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        out = simple_polygon(poly)
+        assert len(out) - 1 == 4  # collinear (5,0) dropped
