@@ -1,0 +1,392 @@
+"""FFL polygonization engine: marching contours → batched on-device ACM
+optimization → corner-aware simplification.
+
+TPU-first redesign of the reference engine (predict/ffl/polygonize.py:10-88
+dispatcher, polygonize_acm.py:77-431 ACM, polygonize_simple.py:61-160,
+polygonize_utils.py, frame_field_utils.detect_corners :71-114):
+
+- Contours are initialized on host (cv2 boundary tracing at the 0.5 level;
+  the reference uses skimage subpixel marching squares — the ACM data term
+  pulls vertices onto the exact level set either way) and packed into ONE
+  fixed-shape padded batch (P_max rings × V_max vertices) for the whole
+  mini-batch, instead of the reference's flat concat per batch.
+- The 500-step SGD-with-warmup loop (TensorPolyOptimizer,
+  polygonize_acm.py:162-220) becomes a single `lax.scan` with `jax.grad` of
+  the PolygonAlignLoss equivalent (align-at-edge-midpoint via integer
+  lookup, level-set bilinear data term, squared-edge-length penalty —
+  polygonize_acm.py:77-160). One compile, no per-batch python loop.
+- Post-processing (corner detection via u/v alignment XOR, split at corners,
+  per-polyline Douglas-Peucker simplification, min-area + seg-probability
+  filtering — shapely_postprocess :260-324) runs on host in numpy/cv2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bilinear import bilinear_interpolate
+from ..ops.crossfield import framefield_align_error
+
+P_MAX = 256  # rings per device batch
+V_MAX = 1024  # vertices per ring
+
+
+# --------------------------------------------------------------------------
+# host: contour init + packing
+# --------------------------------------------------------------------------
+
+
+def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
+    """Closed boundary rings (V, 2) in (y, x) float coords for one (H, W)
+    probability map."""
+    binary = (mask > level).astype(np.uint8)
+    contours, _ = cv2.findContours(binary, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE)
+    out = []
+    for c in contours:
+        c = c.reshape(-1, 2).astype(np.float64)  # (x, y)
+        if len(c) < 3:
+            continue
+        out.append(c[:, ::-1].copy())  # → (y, x)
+    return out
+
+
+def _decimate(ring: np.ndarray, max_len: int) -> np.ndarray:
+    if len(ring) <= max_len:
+        return ring
+    idx = np.linspace(0, len(ring) - 1, max_len).astype(int)
+    return ring[np.unique(idx)]
+
+
+def pack_contours(contours_per_sample: list[list[np.ndarray]]):
+    """→ (pos (P,V,2) f32, vmask (P,V) bool, next_idx (P,V) i32,
+    batch_idx (P,) i32, ring_count). Rings beyond P_MAX are dropped (logged
+    by caller); vertices are decimated to V_MAX."""
+    pos = np.zeros((P_MAX, V_MAX, 2), np.float32)
+    vmask = np.zeros((P_MAX, V_MAX), bool)
+    next_idx = np.tile(np.arange(V_MAX, dtype=np.int32), (P_MAX, 1))
+    batch_idx = np.zeros((P_MAX,), np.int32)
+    p = 0
+    for b, rings in enumerate(contours_per_sample):
+        for ring in rings:
+            if p >= P_MAX:
+                break
+            ring = _decimate(ring, V_MAX)
+            n = len(ring)
+            pos[p, :n] = ring
+            vmask[p, :n] = True
+            next_idx[p, :n] = (np.arange(n) + 1) % n
+            batch_idx[p] = b
+            p += 1
+    return pos, vmask, next_idx, batch_idx, p
+
+
+# --------------------------------------------------------------------------
+# device: ACM optimization
+# --------------------------------------------------------------------------
+
+
+def _acm_loss(pos, vmask, next_idx, batch_idx, indicator, c0c2, params):
+    """PolygonAlignLoss equivalent on the padded representation.
+
+    pos: (P, V, 2) (y, x); indicator: (B, H, W); c0c2: (B, 4, H, W).
+    """
+    H, W = indicator.shape[1], indicator.shape[2]
+    nxt = jnp.take_along_axis(pos, next_idx[..., None], axis=1)
+    edges = nxt - pos  # (P, V, 2)
+    norms = jnp.linalg.norm(edges, axis=-1)
+    edge_mask = vmask & (norms > 0.1)
+    fmask = edge_mask.astype(jnp.float32)
+
+    mid = (pos + nxt) / 2.0
+    mi = jnp.clip(jnp.round(mid[..., 0]).astype(jnp.int32), 0, H - 1)
+    mj = jnp.clip(jnp.round(mid[..., 1]).astype(jnp.int32), 0, W - 1)
+    bidx = batch_idx[:, None]
+    cf = c0c2[bidx, :, mi, mj]  # (P, V, 4)
+    c0 = jax.lax.complex(cf[..., 0], cf[..., 1])
+    c2 = jax.lax.complex(cf[..., 2], cf[..., 3])
+    zn = edges / (norms[..., None] + 1e-3)
+    z = jax.lax.complex(zn[..., 0], zn[..., 1])
+    align = framefield_align_error(c0, c2, z) * fmask
+    align_loss = align.sum()
+
+    flat_pos = pos.reshape(-1, 2)
+    flat_batch = jnp.repeat(batch_idx, pos.shape[1])
+    vals = bilinear_interpolate(indicator[:, None], flat_pos, flat_batch)[:, 0]
+    vals = vals.reshape(pos.shape[0], pos.shape[1])
+    level_loss = (((vals - params["data_level"]) ** 2) * vmask).sum()
+
+    length_loss = ((norms * fmask) ** 2).sum()
+
+    coef_sum = params["data_coef"] + params["length_coef"] + params["crossfield_coef"]
+    total = (
+        params["data_coef"] * level_loss
+        + params["length_coef"] * length_loss
+        + params["crossfield_coef"] * align_loss
+    ) / coef_sum
+    return total
+
+
+@partial(jax.jit, static_argnames=("steps", "warmup_iters"))
+def acm_optimize(
+    pos,
+    vmask,
+    next_idx,
+    batch_idx,
+    indicator,
+    c0c2,
+    *,
+    steps: int = 500,
+    poly_lr: float = 0.01,
+    warmup_iters: int = 100,
+    warmup_factor: float = 0.1,
+    data_level: float = 0.5,
+    data_coef: float = 0.1,
+    length_coef: float = 0.4,
+    crossfield_coef: float = 0.5,
+):
+    """SGD with the reference's LambdaLR warmup (polygonize_acm.py:186-199)."""
+    params = {
+        "data_level": data_level,
+        "data_coef": data_coef,
+        "length_coef": length_coef,
+        "crossfield_coef": crossfield_coef,
+    }
+    grad_fn = jax.grad(
+        lambda p: _acm_loss(p, vmask, next_idx, batch_idx, indicator, c0c2, params)
+    )
+    fm = vmask.astype(jnp.float32)[..., None]
+
+    def body(p, it):
+        coef = jnp.where(
+            it < warmup_iters,
+            1.0 + (warmup_factor - 1.0) * (warmup_iters - it) / warmup_iters,
+            1.0,
+        )
+        g = grad_fn(p)
+        return p - poly_lr * coef * g * fm, None
+
+    pos_out, _ = jax.lax.scan(body, pos, jnp.arange(steps))
+    return pos_out
+
+
+# --------------------------------------------------------------------------
+# host: post-processing
+# --------------------------------------------------------------------------
+
+
+def detect_corners(ring: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Corner mask for a closed ring (V, 2) (y, x): XOR of u/v alignment of
+    the left and right edges (reference frame_field_utils.detect_corners)."""
+    n = len(ring)
+    left = ring[np.arange(n) - 1] - ring  # edge to previous vertex
+    right = np.roll(ring, -1, axis=0) - ring
+    ij = np.clip(np.round(ring).astype(int), [0, 0], [u.shape[0] - 1, u.shape[1] - 1])
+    uu = u[ij[:, 0], ij[:, 1]]
+    vv = v[ij[:, 0], ij[:, 1]]
+
+    def u_aligned(edges):
+        su = np.abs(uu.real * edges[:, 0] + uu.imag * edges[:, 1])
+        sv = np.abs(vv.real * edges[:, 0] + vv.imag * edges[:, 1])
+        return sv < su
+
+    return np.logical_xor(u_aligned(left), u_aligned(right))
+
+
+def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative DP simplification of an open polyline (keeps endpoints)."""
+    if len(points) < 3:
+        return points
+    keep = np.zeros(len(points), bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(points) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b <= a + 1:
+            continue
+        seg = points[b] - points[a]
+        seg_len = np.linalg.norm(seg)
+        pts = points[a + 1 : b]
+        if seg_len < 1e-12:
+            d = np.linalg.norm(pts - points[a], axis=1)
+        else:
+            u = seg / seg_len
+            rel = pts - points[a]
+            d = np.abs(u[0] * rel[:, 1] - u[1] * rel[:, 0])
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            keep[a + 1 + i] = True
+            stack.append((a, a + 1 + i))
+            stack.append((a + 1 + i, b))
+    return points[keep]
+
+
+def simplify_ring_with_corners(ring: np.ndarray, corners: np.ndarray, tol: float) -> np.ndarray:
+    """Split a closed ring at corner vertices, DP-simplify each polyline,
+    reassemble (reference split_polylines_corner + simplify)."""
+    n = len(ring)
+    idx = np.nonzero(corners)[0]
+    if len(idx) == 0:
+        closed = np.concatenate([ring, ring[:1]])
+        out = douglas_peucker(closed, tol)
+        return out[:-1]
+    rolled = np.roll(ring, -idx[0], axis=0)
+    corners_r = np.roll(corners, -idx[0])
+    cuts = np.nonzero(corners_r)[0].tolist() + [n]
+    pieces = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        seg = rolled[a : b + 1] if b < n else np.concatenate([rolled[a:], rolled[:1]])
+        simp = douglas_peucker(seg, tol)
+        pieces.append(simp[:-1])
+    out = np.concatenate(pieces, axis=0)
+    return out
+
+
+def ring_area(ring: np.ndarray) -> float:
+    y, x = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def mean_prob_in_ring(ring: np.ndarray, prob: np.ndarray) -> float:
+    mask = np.zeros(prob.shape, np.uint8)
+    xy = np.round(ring[:, ::-1]).astype(np.int32)
+    cv2.fillPoly(mask, [xy], 1)
+    if mask.sum() == 0:
+        return 0.0
+    return float(prob[mask > 0].mean())
+
+
+def c0c2_to_uv_numpy(c0c2: np.ndarray):
+    """(4, H, W) → complex (u, v) maps (math_utils.compute_crossfield_uv)."""
+    c0 = c0c2[0] + 1j * c0c2[1]
+    c2 = c0c2[2] + 1j * c0c2[3]
+    disc = np.sqrt(c2**2 - 4 * c0 + 0j)
+    u2 = -(c2 + disc) / 2
+    v2 = -(c2 - disc) / 2
+    return np.sqrt(u2), np.sqrt(v2)
+
+
+# --------------------------------------------------------------------------
+# the engine
+# --------------------------------------------------------------------------
+
+
+class Polygonizer:
+    """Method dispatcher (reference predict/ffl/polygonize.py:10-88)."""
+
+    def __init__(self, poly_cfg, seg_threshold: float = 0.5):
+        self.cfg = poly_cfg
+        self.methods = list(poly_cfg.method) if not isinstance(poly_cfg.method, str) else [poly_cfg.method]
+        self.seg_threshold = seg_threshold
+
+    def __call__(self, seg: np.ndarray, crossfield: np.ndarray) -> dict:
+        """seg: (B, Cs, H, W); crossfield: (B, 4, H, W) numpy.
+
+        Returns {method: {tolerance: [per-sample list of (V, 2) (x, y)
+        open rings]}}.
+        """
+        indicator = seg[:, 0]
+        B = indicator.shape[0]
+        init_level = float(self.cfg.common_params.init_data_level)
+        contours = [extract_contours(indicator[b], init_level) for b in range(B)]
+
+        out: dict = {}
+        for method in self.methods:
+            if method == "simple":
+                out["simple"] = self._simple(contours, indicator)
+            elif method == "acm":
+                out["acm"] = self._acm(contours, indicator, crossfield)
+            elif method == "asm":
+                from .ffl_asm import asm_polygonize
+
+                out["asm"] = asm_polygonize(self.cfg, seg, crossfield)
+            else:
+                raise NotImplementedError(f"polygonization method {method!r}")
+        return out
+
+    def _filter_and_convert(self, rings_b, indicator_b, min_area, seg_threshold):
+        polys = []
+        for ring in rings_b:
+            if len(ring) < 3 or ring_area(ring) < min_area:
+                continue
+            if mean_prob_in_ring(ring, indicator_b) < seg_threshold:
+                continue
+            polys.append(ring[:, ::-1].copy())  # → (x, y)
+        return polys
+
+    def _simple(self, contours, indicator) -> dict:
+        mc = self.cfg.simple_method
+        out = {}
+        for tol in list(mc.tolerance):
+            per_sample = []
+            for b, rings in enumerate(contours):
+                simplified = []
+                for ring in rings:
+                    closed = np.concatenate([ring, ring[:1]])
+                    s = douglas_peucker(closed, float(tol))[:-1]
+                    simplified.append(s)
+                per_sample.append(
+                    self._filter_and_convert(
+                        simplified, indicator[b], float(mc.min_area), float(mc.seg_threshold)
+                    )
+                )
+            out[f"tol_{tol}"] = per_sample
+        return out
+
+    def _acm(self, contours, indicator, crossfield) -> dict:
+        mc = self.cfg.acm_method
+        B = indicator.shape[0]
+        pos, vmask, next_idx, batch_idx, n_rings = pack_contours(contours)
+        total = sum(len(c) for c in contours)
+        if total > n_rings:
+            # silent caps are a lie — surface the drop
+            import logging
+
+            logging.getLogger("Polygonizer").warning(
+                f"ACM ring capacity exceeded: kept {n_rings}/{total} rings"
+            )
+        if n_rings > 0:
+            pos_opt = acm_optimize(
+                jnp.asarray(pos),
+                jnp.asarray(vmask),
+                jnp.asarray(next_idx),
+                jnp.asarray(batch_idx),
+                jnp.asarray(indicator),
+                jnp.asarray(crossfield),
+                steps=int(mc.steps),
+                poly_lr=float(mc.poly_lr),
+                warmup_iters=int(mc.warmup_iters),
+                warmup_factor=float(mc.warmup_factor),
+                data_level=float(mc.data_level),
+                data_coef=float(mc.data_coef),
+                length_coef=float(mc.length_coef),
+                crossfield_coef=float(mc.crossfield_coef),
+            )
+            pos = np.asarray(pos_opt)
+
+        out = {}
+        uv_cache = {}
+        for tol in list(mc.tolerance):
+            per_sample: list[list[np.ndarray]] = [[] for _ in range(B)]
+            for p in range(n_rings):
+                b = int(batch_idx[p])
+                ring = pos[p][vmask[p]]
+                if len(ring) < 3:
+                    continue
+                if b not in uv_cache:
+                    uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
+                u, v = uv_cache[b]
+                corners = detect_corners(ring, u, v)
+                simp = simplify_ring_with_corners(ring, corners, float(tol))
+                per_sample[b].append(simp)
+            out[f"tol_{tol}"] = [
+                self._filter_and_convert(
+                    per_sample[b], indicator[b], float(mc.min_area), float(mc.seg_threshold)
+                )
+                for b in range(B)
+            ]
+        return out

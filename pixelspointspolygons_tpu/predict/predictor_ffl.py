@@ -1,0 +1,115 @@
+"""FFL predictor: jitted inference → on-device ACM polygonization → COCO.
+
+Capability parity with reference predict/predictor_ffl.py:42-177 (per-method
+per-tolerance output fan-out, canonical acm.tol_1 copy to pred_file) and
+predict/ffl/inference.py:45-54 (no-patching inference)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.loader import build_loader
+from ..models.ffl.model import build_ffl
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.coco import generate_coco_ann, save_annotations
+from .ffl_polygonize import Polygonizer
+from .predictor import Predictor
+
+
+class FFLPredictor(Predictor):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.model = build_ffl(cfg)
+        self.mesh = make_mesh()
+        self.polygonizer = Polygonizer(
+            cfg.experiment.polygonization,
+            seg_threshold=float(cfg.experiment.model.eval.seg_threshold),
+        )
+
+        @jax.jit
+        def forward(variables, batch):
+            return self.model.apply(variables, batch, train=False)
+
+        self._forward = forward
+
+    def _variables(self, payload):
+        v = {"params": payload["params"]}
+        if "batch_stats" in payload:
+            v["batch_stats"] = payload["batch_stats"]
+        return v
+
+    def predict_batch(self, variables, batch: dict) -> dict:
+        """Returns {method: {tol: per-sample polygon lists ((V,2) xy)}}."""
+        inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
+        inputs = shard_batch(inputs, self.mesh)
+        out = self._forward(variables, inputs)
+        seg = np.asarray(out["seg"], np.float32)
+        crossfield = np.asarray(out["crossfield"], np.float32)
+        return self.polygonizer(seg, crossfield)
+
+    def predict_dataset(self, split: str | None = None) -> str:
+        split = split or self.cfg.evaluation.split
+        payload = self.load_checkpoint()
+        variables = replicate(self._variables(payload), self.mesh)
+        loader = build_loader(self.cfg, split)
+
+        # per method.tol prediction lists (predictor_ffl.py:65-79)
+        predictions: dict[str, list] = {}
+        t0 = time.time()
+        n_images = 0
+        for batch in loader:
+            try:
+                results = self.predict_batch(variables, batch)
+            except Exception as e:  # soft-fail per batch like the reference :113-123
+                self.logger.warning(f"polygonization failed for batch: {e}")
+                continue
+            for method, tols in results.items():
+                for tol, per_sample in tols.items():
+                    key = f"{method}.{tol}"
+                    predictions.setdefault(key, [])
+                    for b, polys in enumerate(per_sample):
+                        if not batch["sample_valid"][b]:
+                            continue
+                        predictions[key].extend(
+                            generate_coco_ann(polys, int(batch["image_id"][b]))
+                        )
+            n_images += int(np.asarray(batch["sample_valid"]).sum())
+        dt = (time.time() - t0) / max(n_images, 1)
+        self.logger.info(f"prediction: {dt:.4f} [s/image] over {n_images} images")
+
+        pred_file = self.cfg.evaluation.pred_file
+        canonical = None
+        for key, anns in predictions.items():
+            path = pred_file.replace(".json", f"_{key}.json")
+            save_annotations(anns, path)
+            if canonical is None or key.startswith("acm."):
+                canonical = anns
+        save_annotations(canonical or [], pred_file)
+        with open(pred_file.replace(".json", "_time.json"), "w") as f:
+            json.dump({"prediction_time": dt, "num_images": n_images}, f)
+        self.logger.info(f"wrote predictions for {list(predictions)} to {os.path.dirname(pred_file)}")
+        return pred_file
+
+    def predict_file(self, image_file=None, lidar_file=None, out_file="prediction.png"):
+        payload = self.load_checkpoint()
+        variables = self._variables(payload)
+        batch = {}
+        image = None
+        if image_file and self.cfg.experiment.encoder.use_images:
+            image = self.load_image_from_file(image_file)
+            batch["images"] = image
+        if lidar_file and self.cfg.experiment.encoder.use_lidar:
+            lidar, mask = self.load_lidar_from_file(lidar_file)
+            batch["lidar"] = lidar
+            batch["lidar_mask"] = mask
+        results = self.predict_batch(variables, batch)
+        method = next(iter(results))
+        tol = next(iter(results[method]))
+        polys = results[method][tol][0]
+        self.plot_prediction(image, polys, out_file)
+        return polys

@@ -1,0 +1,159 @@
+"""FFL trainer: Adam + cosine schedule, MultiLoss with epoch-interpolated
+weights (reference train/trainer_ffl.py:38-59), val loss per epoch and — on
+COCO-eval epochs — the full predictor + ACM polygonization on the val split
+(:244-253; note the reference runs it outside no_grad because torch ACM
+needs autograd; our ACM is jax.grad inside jit, so no such constraint)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import build_loader
+from ..eval.metrics import compute_iou_ciou
+from ..models.ffl.losses import make_ffl_loss
+from ..models.ffl.model import build_ffl
+from ..parallel import all_gather_objects
+from ..utils.coco import CocoIndex, generate_coco_ann
+from ..utils.logger import MetricLogger
+from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
+from .trainer import Trainer
+
+FFL_BATCH_KEYS = (
+    "images",
+    "lidar",
+    "lidar_mask",
+    "gt_polygons_image",
+    "distances",
+    "sizes",
+    "gt_crossfield_angle",
+    "class_freq",
+)
+
+
+class FFLTrainer(Trainer):
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.model = build_ffl(cfg)
+        self.train_loader = build_loader(cfg, "train")
+        self.val_loader = build_loader(cfg, "val")
+
+        m = cfg.experiment.model
+        total_steps = len(self.train_loader) * int(m.num_epochs)
+        schedule = cosine_with_warmup(float(m.learning_rate), total_steps)
+        tx = make_optimizer("adam", schedule)
+
+        sample = next(iter(self.val_loader))
+        init_inputs = {
+            k: jnp.asarray(sample[k][:2])
+            for k in ("images", "lidar", "lidar_mask")
+            if k in sample
+        }
+        variables = self.model.init(jax.random.PRNGKey(0), init_inputs)
+        self.state = create_train_state(self.model, variables, tx)
+        self.maybe_resume()
+        self.state = self.replicate(self.state)
+        self.logger.info(f"model has {num_params(self.state.params)/1e6:.2f}M params")
+
+        loss_fn_raw, self._weights_for_epoch = make_ffl_loss(cfg)
+        model = self.model
+
+        @jax.jit
+        def train_step(state, batch, weights):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                outputs, mut = model.apply(
+                    variables,
+                    {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                total, losses = loss_fn_raw(outputs, batch, weights)
+                return total, (mut.get("batch_stats"), losses)
+
+            (loss, (bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads=grads)
+            if bs is not None:
+                state = state.replace(batch_stats=bs)
+            return state, {"loss": loss, **losses}
+
+        @jax.jit
+        def val_step(state, batch, weights):
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outputs = model.apply(
+                variables,
+                {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
+                train=False,
+            )
+            total, losses = loss_fn_raw(outputs, batch, weights)
+            return {"loss": total, **losses}
+
+        self._train_step = train_step
+        self._val_step = val_step
+
+        from ..predict.predictor_ffl import FFLPredictor
+        from ..predict.ffl_polygonize import Polygonizer
+
+        self._predictor = FFLPredictor.__new__(FFLPredictor)
+        self._predictor.cfg = cfg
+        self._predictor.logger = self.logger
+        self._predictor.model = self.model
+        self._predictor.mesh = self.mesh
+        self._predictor.polygonizer = Polygonizer(
+            cfg.experiment.polygonization,
+            seg_threshold=float(m.eval.seg_threshold),
+        )
+        self._predictor._forward = jax.jit(
+            lambda v, b: model.apply(v, b, train=False)
+        )
+
+    def _epoch_weights(self, epoch: int) -> dict:
+        return {k: jnp.float32(v) for k, v in self._weights_for_epoch(epoch).items()}
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        weights = self._epoch_weights(epoch)
+        meter = MetricLogger()
+        for batch in self.train_loader:
+            batch = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
+            self.state, metrics = self._train_step(self.state, self.shard(batch), weights)
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def val_one_epoch(self, epoch: int) -> dict:
+        weights = self._epoch_weights(epoch)
+        meter = MetricLogger()
+        for batch in self.val_loader:
+            b = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
+            metrics = self._val_step(self.state, self.shard(b), weights)
+            self.collect_metrics(meter, metrics)
+        return {k: v.global_avg for k, v in meter.meters.items()}
+
+    def predict_and_eval(self, epoch: int) -> float:
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        predictions: list[dict] = []
+        for batch in self.val_loader:
+            results = self._predictor.predict_batch(variables, batch)
+            method = next(iter(results))
+            tol = next(iter(results[method]))
+            for b, polys in enumerate(results[method][tol]):
+                if not batch["sample_valid"][b]:
+                    continue
+                predictions.extend(generate_coco_ann(polys, int(batch["image_id"][b])))
+        gathered = [p for chunk in all_gather_objects(predictions) for p in chunk]
+        gt = CocoIndex(self.cfg.experiment.dataset.annotations["val"])
+        dt = gt.load_res(gathered)
+        results = compute_iou_ciou(gt, dt)
+        self.logger.info(
+            f"epoch {epoch} val IoU={results['IoU']:.4f} C-IoU={results['C-IoU']:.4f}"
+        )
+        return float(results["IoU"])
