@@ -98,7 +98,7 @@ def _acm_loss(pos, vmask, next_idx, batch_idx, indicator, c0c2, params):
     H, W = indicator.shape[1], indicator.shape[2]
     nxt = jnp.take_along_axis(pos, next_idx[..., None], axis=1)
     edges = nxt - pos  # (P, V, 2)
-    norms = jnp.linalg.norm(edges, axis=-1)
+    norms = jnp.sqrt(jnp.sum(edges * edges, axis=-1) + 1e-12)  # safe at 0 (padded edges)
     edge_mask = vmask & (norms > 0.1)
     fmask = edge_mask.astype(jnp.float32)
 
