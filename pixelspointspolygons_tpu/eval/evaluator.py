@@ -59,6 +59,14 @@ class Evaluator:
                     results.update(compute_point_metrics(self.coco_gt, self.coco_dt))
             elif mode == "mta":
                 results.update(compute_mta(self.coco_gt, self.coco_dt))
+            elif mode == "topdig":
+                from .topdig import compute_topdig_metrics
+
+                results.update(compute_topdig_metrics(self.coco_gt, self.coco_dt))
+            elif mode == "juncs":
+                from .juncs import compute_junction_metrics
+
+                results.update(compute_junction_metrics(self.coco_gt, self.coco_dt))
             elif mode == "ldof":
                 if not self.cfg.host.get("ldof_exe"):
                     self.logger.warning("ldof_exe not configured — skipping DoF metric")
@@ -75,6 +83,22 @@ class Evaluator:
             with open(time_file) as f:
                 results.update(json.load(f))
         return results
+
+    def to_latex(self, results: dict, caption: str = "Results") -> str:
+        """Compact LaTeX table of the metric dict (reference
+        evaluator.py:405-539 generates the paper tables; this emits one row)."""
+        keys = [k for k, v in results.items() if isinstance(v, (int, float))]
+        header = " & ".join(k.replace("_", r"\_") for k in keys)
+        row = " & ".join(
+            f"{results[k]:.3f}" if isinstance(results[k], float) else str(results[k])
+            for k in keys
+        )
+        return (
+            "\\begin{table}\n\\centering\n\\caption{" + caption + "}\n"
+            "\\begin{tabular}{" + "c" * len(keys) + "}\n\\toprule\n"
+            + header + " \\\\\n\\midrule\n" + row + " \\\\\n\\bottomrule\n"
+            "\\end{tabular}\n\\end{table}\n"
+        )
 
     def to_csv(self, results: dict, out_file: Optional[str] = None) -> str:
         import pandas as pd

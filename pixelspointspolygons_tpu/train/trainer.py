@@ -33,8 +33,11 @@ class Trainer:
     # train_one_epoch/val_one_epoch/predict_and_eval
 
     def train(self) -> dict:
+        from ..utils.experiment_log import RunLogger
+
         self.rng = seed_everything(int(self.cfg.get("seed", 42)))
         self.setup()
+        self.run_logger = RunLogger(self.cfg)
         num_epochs = int(self.cfg.experiment.model.num_epochs)
         val_every = int(self.cfg.training.val_every)
         history = {}
@@ -60,9 +63,12 @@ class Trainer:
             if val_iou is not None:
                 msg += f" val_iou={val_iou:.4f}"
             self.logger.info(f"epoch {epoch}: {msg} ({dt:.1f}s)")
-            history = {"epoch": epoch, **train_metrics, **val_metrics}
+            history = {"epoch": epoch, **train_metrics}
+            history.update({f"val_{k}": v for k, v in val_metrics.items()})
             if val_iou is not None:
                 history["val_iou"] = val_iou
+            self.run_logger.log(history, step=epoch)
+        self.run_logger.finish()
         return history
 
     def maybe_resume(self) -> None:
