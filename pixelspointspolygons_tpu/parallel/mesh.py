@@ -48,19 +48,44 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+# dense field-like batch entries that survive float16 transfer losslessly
+# (normalized pixels, 0/1 rasters, [0, π] angle fields); precision-sensitive
+# coordinates (lidar points, junctions, edges) stay float32
+_F16_SAFE_KEYS = frozenset(
+    {
+        "images",
+        "y_perm",
+        "gt_polygons_image",
+        "distances",
+        "sizes",
+        "gt_crossfield_angle",
+        "mask",
+        "mask_ori",
+    }
+)
+
+
+def shard_batch(batch: Any, mesh: Mesh, compress_floats: bool = True) -> Any:
     """Place a host pytree of numpy arrays onto the mesh, batch-sharded.
 
     Leading dim of every leaf must be divisible by the mesh's data-axis size
     (the host loader pads to guarantee this).
+
+    compress_floats ships selected float32 fields as float16 — the tunnel /
+    PCIe host→device link is the input-pipeline bottleneck; jax promotes back
+    to f32 inside the step.
     """
     sh = data_sharding(mesh)
 
-    def put(x: Any) -> Any:
+    def put(key: str, x: Any) -> Any:
         arr = np.asarray(x)
+        if compress_floats and arr.dtype == np.float32 and key in _F16_SAFE_KEYS:
+            arr = arr.astype(np.float16)
         return jax.device_put(arr, sh)
 
-    return jax.tree_util.tree_map(put, batch)
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put("", x), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

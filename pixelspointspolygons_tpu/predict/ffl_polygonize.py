@@ -43,7 +43,23 @@ V_MAX = 1024  # vertices per ring
 
 def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
     """Closed boundary rings (V, 2) in (y, x) float coords for one (H, W)
-    probability map."""
+    probability map.
+
+    Uses the native subpixel marching-squares kernel (native/geometry.cpp,
+    the skimage find_contours equivalent of polygonize_utils.py:15-44) when
+    available; falls back to cv2 integer boundary tracing otherwise."""
+    try:
+        from ..native import find_contours
+
+        out = []
+        for ring, closed in find_contours(mask, level):
+            if closed and len(ring) >= 4:
+                out.append(ring[:-1].copy())  # drop repeated last vertex
+            elif not closed and len(ring) >= 3:
+                out.append(ring.copy())
+        return out
+    except RuntimeError:
+        pass
     binary = (mask > level).astype(np.uint8)
     contours, _ = cv2.findContours(binary, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE)
     out = []

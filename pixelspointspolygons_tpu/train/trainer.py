@@ -97,3 +97,13 @@ class Trainer:
     @staticmethod
     def collect_metrics(meter: MetricLogger, metrics: dict) -> None:
         meter.update(**{k: float(np.asarray(v)) for k, v in metrics.items()})
+
+    @staticmethod
+    def summarize_deferred(records: list[dict]) -> dict:
+        """Materialize a whole epoch's device-resident metric dicts in one
+        host sync (per-step float() syncs cost a tunnel round trip each)."""
+        if not records:
+            return {}
+        host = jax.device_get(records)
+        keys = host[0].keys()
+        return {k: float(np.mean([r[k] for r in host])) for k in keys}

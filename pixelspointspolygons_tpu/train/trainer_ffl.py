@@ -120,21 +120,20 @@ class FFLTrainer(Trainer):
     def train_one_epoch(self, epoch: int) -> dict:
         self.train_loader.set_epoch(epoch)
         weights = self._epoch_weights(epoch)
-        meter = MetricLogger()
+        records = []
         for batch in self.train_loader:
             batch = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
             self.state, metrics = self._train_step(self.state, self.shard(batch), weights)
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(metrics)
+        return self.summarize_deferred(records)
 
     def val_one_epoch(self, epoch: int) -> dict:
         weights = self._epoch_weights(epoch)
-        meter = MetricLogger()
+        records = []
         for batch in self.val_loader:
             b = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
-            metrics = self._val_step(self.state, self.shard(b), weights)
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(self._val_step(self.state, self.shard(b), weights))
+        return self.summarize_deferred(records)
 
     def predict_and_eval(self, epoch: int) -> float:
         variables = {"params": self.state.params}

@@ -116,18 +116,17 @@ class HiSupTrainer(Trainer):
 
     def train_one_epoch(self, epoch: int) -> dict:
         self.train_loader.set_epoch(epoch)
-        meter = MetricLogger()
+        records = []
         for batch in self.train_loader:
             self.state, metrics = self._train_step(self.state, self.shard(batch))
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(metrics)
+        return self.summarize_deferred(records)
 
     def val_one_epoch(self, epoch: int) -> dict:
-        meter = MetricLogger()
+        records = []
         for batch in self.val_loader:
-            metrics = self._val_step(self.state, self.shard(batch))
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(self._val_step(self.state, self.shard(batch)))
+        return self.summarize_deferred(records)
 
     def predict_and_eval(self, epoch: int) -> float:
         variables = {"params": self.state.params}

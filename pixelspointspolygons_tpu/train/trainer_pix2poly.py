@@ -82,19 +82,20 @@ class Pix2PolyTrainer(Trainer):
 
     def train_one_epoch(self, epoch: int) -> dict:
         self.train_loader.set_epoch(epoch)
-        meter = MetricLogger()
+        records = []
+        step = 0
         for batch in self.train_loader:
-            step_rng = jax.random.fold_in(self.rng, int(self.state.step))
+            step_rng = jax.random.fold_in(self.rng, epoch * 100003 + step)
             self.state, metrics = self._train_step(self.state, self.shard(batch), step_rng)
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(metrics)
+            step += 1
+        return self.summarize_deferred(records)
 
     def val_one_epoch(self, epoch: int) -> dict:
-        meter = MetricLogger()
+        records = []
         for batch in self.val_loader:
-            metrics = self._val_step(self.state, self.shard(batch))
-            self.collect_metrics(meter, metrics)
-        return {k: v.global_avg for k, v in meter.meters.items()}
+            records.append(self._val_step(self.state, self.shard(batch)))
+        return self.summarize_deferred(records)
 
     def predict_and_eval(self, epoch: int) -> float:
         """Greedy-decode the val split and compute mask IoU (val mode)."""
