@@ -133,7 +133,10 @@ class P3Dataset:
     def _image(self, info) -> np.ndarray:
         if not self.use_images:
             return np.zeros((info["height"], info["width"], 1), np.uint8)
-        return load_image_file(os.path.join(self.dataset_dir, info["image_path"]))
+        # P3 layout stores a repo-relative 'image_path'; legacy Inria-style
+        # COCO files (reference datasets/inria_coco.py) only have 'file_name'
+        rel = info.get("image_path") or os.path.join("images", self.split, info["file_name"])
+        return load_image_file(os.path.join(self.dataset_dir, rel))
 
     def _lidar(self, info) -> Optional[np.ndarray]:
         if not self.use_lidar:

@@ -59,6 +59,10 @@ class FFL(nn.Module):
             from .unetresnet import UNetResNetEncoder
 
             self.encoder = UNetResNetEncoder(dtype=self.dtype, out_dim=self.dim, **enc_cfg)
+        elif name == "convnext":
+            from ..convnext import ConvNeXtEncoder
+
+            self.encoder = ConvNeXtEncoder(dtype=self.dtype, out_dim=self.dim, **enc_cfg)
         else:
             raise NotImplementedError(f"encoder {name!r} for ffl")
 
@@ -139,6 +143,8 @@ def build_ffl(cfg, dtype=jnp.float32) -> FFL:
         enc_cfg = {"name": "hrnet", "in_size": int(enc.in_size)}
     elif name == "unetresnet101":
         enc_cfg = {"name": "unetresnet101", "in_size": int(enc.in_size)}
+    elif name == "convnext":
+        enc_cfg = {"name": "convnext", "in_size": int(enc.in_size)}
     else:
         raise NotImplementedError(f"encoder {name!r} for ffl")
 

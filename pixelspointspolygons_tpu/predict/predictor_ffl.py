@@ -107,7 +107,23 @@ class FFLPredictor(Predictor):
             lidar, mask = self.load_lidar_from_file(lidar_file)
             batch["lidar"] = lidar
             batch["lidar_mask"] = mask
-        results = self.predict_batch(variables, batch)
+        patch_size = self.cfg.experiment.model.eval.get("patch_size")
+        if patch_size and image is not None and image.shape[1] > int(patch_size):
+            # sliding-window inference for large rasters (inference.py:57-118)
+            from .ffl_inference import inference_with_patching
+
+            out = inference_with_patching(
+                lambda p: {
+                    k: np.asarray(v)
+                    for k, v in self._forward(variables, {"images": p}).items()
+                },
+                image,
+                int(patch_size),
+                int(self.cfg.experiment.model.eval.patch_overlap),
+            )
+            results = self.polygonizer(out["seg"], out["crossfield"])
+        else:
+            results = self.predict_batch(variables, batch)
         method = next(iter(results))
         tol = next(iter(results[method]))
         polys = results[method][tol][0]

@@ -76,6 +76,66 @@ class CheckpointManager:
             )
 
 
+def smart_restore_params(target: Any, loaded: Any, logger=None) -> Any:
+    """Fuzzy parameter restore (reference misc/shared_utils.py:67-118
+    smart_load_state_dict): exact path first, then unique suffix match with
+    identical shape (absorbs wrapper-prefix renames across versions).
+    Unmatched target leaves keep their initialized values."""
+    import jax
+
+    def flatten(tree):
+        flat = {}
+
+        def rec(node, path):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    rec(v, path + (k,))
+            else:
+                flat[path] = node
+
+        rec(tree, ())
+        return flat
+
+    tflat = flatten(target)
+    lflat = flatten(loaded)
+    out = dict(tflat)
+    used = set()
+    for path, leaf in tflat.items():
+        if path in lflat and np.shape(lflat[path]) == np.shape(leaf):
+            out[path] = lflat[path]
+            used.add(path)
+            continue
+        # longest-common-suffix matching (absorbs differing wrapper prefixes)
+        matched = False
+        for k in range(len(path), 0, -1):
+            suffix = path[-k:]
+            cands = [
+                lp
+                for lp in lflat
+                if lp not in used
+                and lp[-k:] == suffix
+                and np.shape(lflat[lp]) == np.shape(leaf)
+            ]
+            if len(cands) == 1:
+                out[path] = lflat[cands[0]]
+                used.add(cands[0])
+                matched = True
+                break
+            if len(cands) > 1:
+                break  # ambiguous at this depth; shorter suffixes only get worse
+        if not matched and logger is not None:
+            logger.warning(f"checkpoint: no match for {'/'.join(path)} — keeping init")
+
+    # rebuild nested dict
+    rebuilt: dict = {}
+    for path, leaf in out.items():
+        node = rebuilt
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+    return rebuilt
+
+
 def save_best_and_latest(
     manager: CheckpointManager,
     state,

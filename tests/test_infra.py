@@ -1,0 +1,100 @@
+"""Infrastructure tests: patched-inference blending (constant-field identity),
+orbax checkpoint round-trip with best/latest policy, smart param remapping,
+ConvNeXt encoder shapes, multi-device sharded train step on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelspointspolygons_tpu.predict.ffl_inference import (
+    compute_patch_boundingboxes,
+    inference_with_patching,
+    patch_weight_window,
+)
+from pixelspointspolygons_tpu.utils.checkpoint import (
+    CheckpointManager,
+    smart_restore_params,
+)
+
+
+class TestPatchedInference:
+    def test_boxes_cover(self):
+        boxes = compute_patch_boundingboxes((100, 100), stride=40, patch_res=64)
+        cov = np.zeros((100, 100), bool)
+        for y0, x0, y1, x1 in boxes:
+            cov[y0:y1, x0:x1] = True
+        assert cov.all()
+
+    def test_weight_window_border_zeroish(self):
+        w = patch_weight_window(32)
+        assert w[0, 0] < w[16, 16]
+        assert w.max() == pytest.approx(16, abs=1.5)
+
+    def test_constant_field_identity(self):
+        """Blending patches of a constant predictor must reproduce the
+        constant everywhere (weights normalize out)."""
+        images = np.zeros((1, 100, 100, 3), np.float32)
+
+        def forward(patch):
+            p = patch.shape[1]
+            return {"seg": np.full((1, 1, p, patch.shape[2]), 0.7, np.float32)}
+
+        out = inference_with_patching(forward, images, patch_size=64, patch_overlap=32)
+        np.testing.assert_allclose(out["seg"], 0.7, atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_policy(self, tmp_path):
+        import optax
+
+        from pixelspointspolygons_tpu.config import compose
+        from pixelspointspolygons_tpu.train.state import TrainState
+
+        cfg = compose(["experiment=p2p_image", "run_type=debug"])
+        params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+        tx = optax.adam(1e-3)
+        state = TrainState.create(apply_fn=None, params=params, tx=tx, batch_stats=None)
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save("latest", state, epoch=4, cfg=cfg)
+        assert mgr.exists("latest")
+        payload = mgr.restore("latest")
+        np.testing.assert_allclose(payload["params"]["w"], np.ones((3, 3)))
+        assert int(payload["epoch"]) == 4
+        assert payload["cfg"].experiment.model.name == "pix2poly"
+        # modality guard
+        cfg2 = compose(["experiment=p2p_lidar", "run_type=debug"])
+        with pytest.raises(ValueError):
+            mgr.check_modality_compat(payload["cfg"], cfg2)
+
+    def test_smart_restore_suffix_match(self):
+        target = {"encoder": {"vit": {"block0": {"kernel": np.zeros((4, 4))}}}}
+        loaded = {"model": {"vit": {"block0": {"kernel": np.ones((4, 4))}}}}
+        out = smart_restore_params(target, loaded)
+        np.testing.assert_allclose(out["encoder"]["vit"]["block0"]["kernel"], 1.0)
+
+    def test_smart_restore_shape_mismatch_keeps_init(self):
+        target = {"a": {"kernel": np.zeros((4, 4))}}
+        loaded = {"a": {"kernel": np.ones((2, 2))}}
+        out = smart_restore_params(target, loaded)
+        np.testing.assert_allclose(out["a"]["kernel"], 0.0)
+
+
+class TestConvNeXt:
+    def test_shapes(self, key):
+        from pixelspointspolygons_tpu.models.convnext import ConvNeXtEncoder
+
+        enc = ConvNeXtEncoder(in_size=32, depths=(1, 1), dims=(16, 32), out_dim=24)
+        x = jnp.zeros((2, 32, 32, 3))
+        variables = enc.init(key, x)
+        out, _ = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 8, 8, 24)
+
+
+class TestMultiDevice:
+    def test_sharded_train_step_on_mesh8(self, mesh8):
+        """Full DP train step over the 8-device CPU mesh: gradients must be
+        identical to single-device execution (psum-by-sharding)."""
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
