@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.afm import afm as afm_op
+from ...ops.afm import afm_auto as afm_op
 
 Dtype = Any
 

