@@ -47,7 +47,8 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x) if self.activation == "gelu" else nn.relu(x)
+        # exact (erf) GELU — torch nn.GELU parity for ported timm weights
+        x = nn.gelu(x, approximate=False) if self.activation == "gelu" else nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
         return x
