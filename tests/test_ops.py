@@ -287,3 +287,23 @@ class TestAFMPallas:
         m, l = afm_pallas(jnp.zeros((1, 3, 4)), jnp.zeros((1, 3), bool), 8, 8, interpret=True)
         assert np.abs(np.asarray(m)).sum() == 0
         assert np.asarray(l).sum() == 0
+
+
+class TestAFMSqueeze:
+    def test_line_recovered_from_afm(self):
+        """AFM of a single long segment → squeeze recovers ~that segment."""
+        from pixelspointspolygons_tpu.predict.afm_squeeze import afm_to_line_segments
+
+        H = W = 48
+        lines = jnp.asarray([[[8.0, 10.0, 40.0, 30.0]]])
+        valid = jnp.ones((1, 1), bool)
+        afmap, _ = ops.afm(lines, valid, H, W, row_block=8)
+        segs = afm_to_line_segments(np.asarray(afmap[0]))
+        assert len(segs) >= 1
+        # the longest recovered segment aligns with the GT line direction
+        seg = max(segs, key=lambda s: np.hypot(s[2] - s[0], s[3] - s[1]))
+        gt_dir = np.array([40.0 - 8.0, 30.0 - 10.0])
+        gt_dir /= np.linalg.norm(gt_dir)
+        d = np.array([seg[2] - seg[0], seg[3] - seg[1]])
+        d /= np.linalg.norm(d)
+        assert abs(abs(d @ gt_dir) - 1) < 0.05
