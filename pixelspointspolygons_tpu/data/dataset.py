@@ -341,7 +341,10 @@ class P3Dataset:
                 return {k: z[k] for k in z.files}
         gt = compute_ffl_gt(self._polygons(info), info["height"], info["width"])
         os.makedirs(self._ffl_cache_dir, exist_ok=True)
-        tmp = cache + f".tmp{os.getpid()}.npz"  # np.savez appends .npz otherwise
+        import threading
+
+        # np.savez appends .npz otherwise; pid+tid keeps loader threads from racing
+        tmp = cache + f".tmp{os.getpid()}_{threading.get_ident()}.npz"
         np.savez_compressed(tmp, **gt)
         os.replace(tmp, cache)
         return gt

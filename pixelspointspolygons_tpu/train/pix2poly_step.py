@@ -43,7 +43,7 @@ def perm_bce_loss(perm, gt_perm):
 
 
 def make_train_step(model, vertex_w: float, perm_w: float, pad_idx: int):
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         y = batch["y"]
         y_input = y[:, :-1]

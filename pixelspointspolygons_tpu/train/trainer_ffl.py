@@ -6,6 +6,8 @@ needs autograd; our ACM is jax.grad inside jit, so no such constraint)."""
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,7 +61,7 @@ class FFLTrainer(Trainer):
         loss_fn_raw, self._weights_for_epoch = make_ffl_loss(cfg)
         model = self.model
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, weights):
             def loss_fn(params):
                 variables = {"params": params}

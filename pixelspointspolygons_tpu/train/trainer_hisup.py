@@ -49,7 +49,7 @@ class HiSupTrainer(Trainer):
         size = int(m.decoder.in_feature_size)
         model = self.model
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch):
             targets = encode_targets(batch, size)
 
