@@ -75,7 +75,7 @@ class Trainer:
         name = self.cfg.get("checkpoint")
         if not name:
             return
-        payload = self.manager.restore(name)
+        payload = self.manager.restore(name, state_template=self.state)
         self.manager.check_modality_compat(payload.get("cfg"), self.cfg)
         self.state = self.state.replace(
             params=payload["params"],

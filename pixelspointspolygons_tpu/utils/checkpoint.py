@@ -46,11 +46,25 @@ class CheckpointManager:
             with open(os.path.join(path, "config.yaml"), "w") as f:
                 f.write(to_yaml(cfg))
 
-    def restore(self, name: str) -> dict:
+    def restore(self, name: str, state_template=None) -> dict:
+        """`state_template` (a TrainState) restores opt_state with its proper
+        optax NamedTuple structure — orbax alone returns plain dicts."""
         path = self.path(name)
         if not os.path.isdir(path):
             raise FileNotFoundError(f"checkpoint {name!r} not found under {self.ckpt_dir}")
-        payload = self._ckptr.restore(path)
+        target = None
+        if state_template is not None:
+            target = {
+                "params": jax.device_get(state_template.params),
+                "opt_state": jax.device_get(state_template.opt_state),
+                "step": np.asarray(state_template.step),
+                "epoch": np.asarray(0),
+                "best_val_loss": np.asarray(0.0),
+                "best_val_iou": np.asarray(0.0),
+            }
+            if state_template.batch_stats is not None:
+                target["batch_stats"] = jax.device_get(state_template.batch_stats)
+        payload = self._ckptr.restore(path, target) if target is not None else self._ckptr.restore(path)
         cfg_file = os.path.join(path, "config.yaml")
         if os.path.isfile(cfg_file):
             with open(cfg_file) as f:
