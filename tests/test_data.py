@@ -220,3 +220,29 @@ class TestSyntheticDataset:
         lo2.set_epoch(2)
         c = [bb["image_id"].tolist() for bb in lo2]
         assert a != c
+
+    def test_loader_with_workers(self, synth_cfg):
+        from pixelspointspolygons_tpu.data import Loader, P3Dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+
+        tok = Tokenizer(synth_cfg)
+        ds = P3Dataset(synth_cfg, "train", tokenizer=tok)
+        seq = [b["image_id"].tolist() for b in Loader(ds, batch_size=3, shuffle=True, seed=3)]
+        par = [b["image_id"].tolist() for b in Loader(ds, batch_size=3, shuffle=True, seed=3, num_workers=3)]
+        assert seq == par  # threading must not change order or content
+
+
+class TestRunLogger:
+    def test_jsonl_backend(self, synth_cfg, tmp_path):
+        import json
+
+        from pixelspointspolygons_tpu.utils.experiment_log import RunLogger
+
+        synth_cfg.output_dir = str(tmp_path)
+        logger = RunLogger(synth_cfg, enabled=True)
+        logger.log({"loss": 1.5, "iou": 0.3}, step=2)
+        logger.finish()
+        path = tmp_path / "runs" / f"{synth_cfg.experiment.name}.jsonl"
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["_type"] == "config"
+        assert lines[1]["loss"] == 1.5 and lines[1]["step"] == 2
