@@ -58,7 +58,7 @@ def seg_loss(outputs, batch, *, bce_coef, dice_coef, seg_type, gt_channels, use_
 
 def gt_field(batch) -> jnp.ndarray:
     """Unit complex tangent field from the GT angle mask."""
-    ang = batch["gt_crossfield_angle"][:, 0]  # (B, H, W)
+    ang = batch["gt_crossfield_angle"][:, 0].astype(jnp.float32)  # (B, H, W)
     return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
 

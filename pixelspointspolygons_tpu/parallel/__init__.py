@@ -1,5 +1,6 @@
 from .mesh import (
     DATA_AXIS,
+    device_prefetch,
     all_gather_objects,
     data_sharding,
     make_mesh,
@@ -11,6 +12,7 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "device_prefetch",
     "all_gather_objects",
     "data_sharding",
     "make_mesh",

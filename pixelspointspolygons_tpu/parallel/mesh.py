@@ -97,6 +97,28 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def device_prefetch(batch_iter, mesh: Mesh, depth: int = 2):
+    """Overlap host→device transfer with compute: keep `depth` batches
+    resident on device ahead of consumption (the tf.data prefetch-to-device
+    equivalent for the host loader)."""
+    import collections
+
+    queue = collections.deque()
+    it = iter(batch_iter)
+    try:
+        for _ in range(depth):
+            queue.append(shard_batch(next(it), mesh))
+    except StopIteration:
+        pass
+    while queue:
+        nxt = queue.popleft()
+        try:
+            queue.append(shard_batch(next(it), mesh))
+        except StopIteration:
+            pass
+        yield nxt
+
+
 def all_gather_objects(obj: Any) -> list[Any]:
     """Gather host-side python objects across processes.
 

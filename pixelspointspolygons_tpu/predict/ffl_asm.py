@@ -40,8 +40,8 @@ from .ffl_polygonize import (
     ring_area,
 )
 
-N_MAX = 4096  # skeleton nodes per batch
-P_MAX = 512  # paths per batch
+N_MAX = 16384  # skeleton nodes per batch
+P_MAX = 1024  # paths per batch
 V_MAX = 256  # vertices per path
 
 

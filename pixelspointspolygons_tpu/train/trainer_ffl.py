@@ -16,7 +16,7 @@ from ..data.loader import build_loader
 from ..eval.metrics import compute_iou_ciou
 from ..models.ffl.losses import make_ffl_loss
 from ..models.ffl.model import build_ffl
-from ..parallel import all_gather_objects
+from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
 from ..utils.logger import MetricLogger
 from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
@@ -123,9 +123,9 @@ class FFLTrainer(Trainer):
         self.train_loader.set_epoch(epoch)
         weights = self._epoch_weights(epoch)
         records = []
-        for batch in self.train_loader:
-            batch = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
-            self.state, metrics = self._train_step(self.state, self.shard(batch), weights)
+        filtered = ({k: v for k, v in b.items() if k in FFL_BATCH_KEYS} for b in self.train_loader)
+        for batch in device_prefetch(filtered, self.mesh):
+            self.state, metrics = self._train_step(self.state, batch, weights)
             records.append(metrics)
         return self.summarize_deferred(records)
 

@@ -14,7 +14,7 @@ from ..data.loader import build_loader
 from ..eval.metrics import compute_iou_ciou
 from ..models.hisup.factory import build_hisup
 from ..models.hisup.model import encode_targets, hisup_losses
-from ..parallel import all_gather_objects
+from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
 from ..utils.logger import MetricLogger
 from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
@@ -117,8 +117,8 @@ class HiSupTrainer(Trainer):
     def train_one_epoch(self, epoch: int) -> dict:
         self.train_loader.set_epoch(epoch)
         records = []
-        for batch in self.train_loader:
-            self.state, metrics = self._train_step(self.state, self.shard(batch))
+        for batch in device_prefetch(self.train_loader, self.mesh):
+            self.state, metrics = self._train_step(self.state, batch)
             records.append(metrics)
         return self.summarize_deferred(records)
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..data.loader import build_loader
 from ..eval.metrics import compute_iou_ciou
 from ..models.pix2poly import Tokenizer, build_pix2poly, greedy_generate
-from ..parallel import all_gather_objects
+from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
 from ..utils.logger import MetricLogger
 from .pix2poly_step import make_train_step, make_val_step
@@ -84,9 +84,9 @@ class Pix2PolyTrainer(Trainer):
         self.train_loader.set_epoch(epoch)
         records = []
         step = 0
-        for batch in self.train_loader:
+        for batch in device_prefetch(self.train_loader, self.mesh):
             step_rng = jax.random.fold_in(self.rng, epoch * 100003 + step)
-            self.state, metrics = self._train_step(self.state, self.shard(batch), step_rng)
+            self.state, metrics = self._train_step(self.state, batch, step_rng)
             records.append(metrics)
             step += 1
         return self.summarize_deferred(records)
