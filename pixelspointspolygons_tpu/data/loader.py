@@ -11,7 +11,7 @@ deriving the permutation from (seed, epoch).
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Capability parity with reference models/hisup/model_hisup.py (heads/ECA
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

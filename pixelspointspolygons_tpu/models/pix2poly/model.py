@@ -19,7 +19,7 @@ because causal masking makes position t's logits independent of positions
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ does this by monkey-patching timm's patch_embed, pointpillars_vit.py:64).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

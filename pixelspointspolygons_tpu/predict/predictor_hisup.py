@@ -10,7 +10,6 @@ import time
 
 import cv2
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import build_loader

@@ -13,8 +13,6 @@ over a mesh-sharded batch, gradients come out mesh-averaged by construction.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

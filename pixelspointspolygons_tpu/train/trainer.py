@@ -5,8 +5,6 @@ DDP runtime replaced by a data mesh + jitted steps."""
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -18,7 +18,6 @@ from ..models.ffl.losses import make_ffl_loss
 from ..models.ffl.model import build_ffl
 from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
-from ..utils.logger import MetricLogger
 from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
 from .trainer import Trainer
 

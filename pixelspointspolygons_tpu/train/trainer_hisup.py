@@ -16,7 +16,6 @@ from ..models.hisup.factory import build_hisup
 from ..models.hisup.model import encode_targets, hisup_losses
 from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
-from ..utils.logger import MetricLogger
 from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
 from .trainer import Trainer
 

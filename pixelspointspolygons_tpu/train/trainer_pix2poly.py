@@ -20,7 +20,6 @@ from ..eval.metrics import compute_iou_ciou
 from ..models.pix2poly import Tokenizer, build_pix2poly, greedy_generate
 from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
-from ..utils.logger import MetricLogger
 from .pix2poly_step import make_train_step, make_val_step
 from .state import create_train_state, linear_warmup_decay, make_optimizer, num_params
 from .trainer import Trainer
