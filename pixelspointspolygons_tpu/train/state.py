@@ -56,3 +56,12 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 def num_params(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def compute_dtype(cfg):
+    """jnp dtype from cfg.host.compute_dtype (bfloat16 halves MXU time on TPU;
+    params remain float32 — flax `dtype` is compute-only)."""
+    import jax.numpy as jnp
+
+    name = str(cfg.host.get("compute_dtype", "float32")).lower()
+    return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.float32

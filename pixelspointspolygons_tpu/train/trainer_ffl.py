@@ -36,7 +36,9 @@ FFL_BATCH_KEYS = (
 class FFLTrainer(Trainer):
     def setup(self) -> None:
         cfg = self.cfg
-        self.model = build_ffl(cfg)
+        from .state import compute_dtype
+
+        self.model = build_ffl(cfg, dtype=compute_dtype(cfg))
         self.train_loader = build_loader(cfg, "train")
         self.val_loader = build_loader(cfg, "val")
 

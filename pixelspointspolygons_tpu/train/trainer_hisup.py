@@ -23,7 +23,9 @@ from .trainer import Trainer
 class HiSupTrainer(Trainer):
     def setup(self) -> None:
         cfg = self.cfg
-        self.model = build_hisup(cfg)
+        from .state import compute_dtype
+
+        self.model = build_hisup(cfg, dtype=compute_dtype(cfg))
         self.train_loader = build_loader(cfg, "train")
         self.val_loader = build_loader(cfg, "val")
 

@@ -29,7 +29,9 @@ class Pix2PolyTrainer(Trainer):
     def setup(self) -> None:
         cfg = self.cfg
         self.tokenizer = Tokenizer(cfg)
-        self.model = build_pix2poly(cfg, self.tokenizer)
+        from .state import compute_dtype
+
+        self.model = build_pix2poly(cfg, self.tokenizer, dtype=compute_dtype(cfg))
 
         self.train_loader = build_loader(cfg, "train", tokenizer=self.tokenizer)
         self.val_loader = build_loader(cfg, "val", tokenizer=self.tokenizer)
@@ -115,4 +117,34 @@ class Pix2PolyTrainer(Trainer):
         self.logger.info(
             f"epoch {epoch} val IoU={results['IoU']:.4f} C-IoU={results['C-IoU']:.4f}"
         )
+        self._log_val_visualization(epoch, polys, batch)
         return float(results["IoU"])
+
+    def _log_val_visualization(self, epoch: int, polys, batch) -> None:
+        """Per-val-epoch GT-vs-pred panel (reference trainer_pix2poly.py:96-179
+        pushes these to wandb; here through the run logger)."""
+        if not getattr(self, "run_logger", None) or not self.run_logger.enabled:
+            return
+        try:
+            import io
+
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            img = batch.get("images")
+            fig, ax = plt.subplots(figsize=(4, 4))
+            if img is not None:
+                disp = img[0] - img[0].min()
+                ax.imshow(disp / max(float(disp.max()), 1e-6))
+            for poly in polys[0]:
+                ring = np.concatenate([poly, poly[:1]])
+                ax.plot(ring[:, 0], ring[:, 1], "-o", lw=1.2, ms=2)
+            ax.set_axis_off()
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            plt.close(fig)
+            self.run_logger.log_image("val_prediction", buf, step=epoch)
+        except Exception as e:  # visualization must never kill training
+            self.logger.debug(f"val visualization failed: {e}")
