@@ -88,7 +88,8 @@ def compute_seg_grads(outputs) -> dict:
     """2× normalized Scharr gradients of seg (ComputeSegGrads :221-233)."""
     seg = outputs["seg"].astype(jnp.float32)
     grads = 2.0 * spatial_gradient(seg)  # (B, C, 2, H, W)
-    norm = jnp.linalg.norm(grads, axis=2)
+    # safe norm: d|g|/dg is NaN at exactly-zero gradients (flat seg regions)
+    norm = jnp.sqrt(jnp.sum(grads * grads, axis=2) + 1e-12)
     normed = grads / (norm[:, :, None] + 1e-6)
     return {"seg_grads": grads, "seg_grad_norm": norm, "seg_grads_normed": normed}
 
