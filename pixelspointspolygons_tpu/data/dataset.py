@@ -89,9 +89,13 @@ def load_lidar_file(path: str) -> np.ndarray:
 
 
 class P3Dataset:
-    def __init__(self, cfg, split: str, tokenizer=None):
+    def __init__(self, cfg, split: str, tokenizer=None, eval_mode: bool = False):
+        """eval_mode forces inference transforms (Normalize only, no point
+        shuffle) regardless of split — the reference predicts every split
+        through its test loader (build_datasets.py get_test_loader)."""
         self.cfg = cfg
         self.split = split
+        self.eval_mode = eval_mode
         self.logger = make_logger(f"{split}Dataset")
         self.tokenizer = tokenizer
 
@@ -112,7 +116,8 @@ class P3Dataset:
         self.model_type = cfg.experiment.model.name
         self.max_points = int(enc.get("max_num_points", 200000)) if self.use_lidar else 0
         self.z_range = float(enc.in_voxel_size.z) if self.use_lidar else 100.0
-        self.augmentations = list(enc.augmentations or []) if split == "train" else (
+        is_train = split == "train" and not eval_mode
+        self.augmentations = list(enc.augmentations or []) if is_train else (
             ["Normalize"] if "Normalize" in (enc.augmentations or []) else []
         )
         self.image_mean = list(enc.get("image_mean", [0.0, 0.0, 0.0]))
@@ -160,7 +165,7 @@ class P3Dataset:
         out = np.zeros((self.max_points, 3), np.float32)
         mask = np.zeros((self.max_points,), bool)
         if pts is not None:
-            if self.split == "train":  # PointShuffle augment (o3d parity)
+            if self.split == "train" and not self.eval_mode:  # PointShuffle (o3d parity)
                 rng.shuffle(pts)
             n = min(len(pts), self.max_points)
             out[:n] = pts[:n]
@@ -321,7 +326,7 @@ class P3Dataset:
         angle = augment.apply_d4_image(gt["gt_crossfield_angle"], g).astype(np.float32) * np.pi / 255.0
         # stored field is normals; rotate to tangents (p3_coco.py:289-290)
         angle = (angle + np.pi / 2) % np.pi
-        if self.split == "train":
+        if self.split == "train" and not self.eval_mode:
             angle = augment.apply_d4_crossfield_angle(angle, g)
         item.update(
             gt_polygons_image=np.ascontiguousarray(np.transpose(poly_img, (2, 0, 1))),

@@ -108,13 +108,14 @@ class Loader:
                 yield batch
 
 
-def build_loader(cfg, split: str, tokenizer=None) -> Loader:
-    """get_{train,val,test}_loader equivalent (build_datasets.py:26-49)."""
+def build_loader(cfg, split: str, tokenizer=None, eval_mode: bool = False) -> Loader:
+    """get_{train,val,test}_loader equivalent (build_datasets.py:26-49);
+    eval_mode builds the test-transform loader for any split (prediction)."""
     from .synthetic import ensure_synthetic_dataset
 
     ensure_synthetic_dataset(cfg)
-    ds = P3Dataset(cfg, split, tokenizer=tokenizer)
-    train = split == "train"
+    ds = P3Dataset(cfg, split, tokenizer=tokenizer, eval_mode=eval_mode)
+    train = split == "train" and not eval_mode
     return Loader(
         ds,
         batch_size=int(cfg.experiment.model.batch_size),

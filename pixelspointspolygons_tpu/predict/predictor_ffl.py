@@ -56,7 +56,7 @@ class FFLPredictor(Predictor):
         split = split or self.cfg.evaluation.split
         payload = self.load_checkpoint()
         variables = replicate(self._variables(payload), self.mesh)
-        loader = build_loader(self.cfg, split)
+        loader = build_loader(self.cfg, split, eval_mode=True)
 
         # per method.tol prediction lists (predictor_ffl.py:65-79)
         predictions: dict[str, list] = {}

@@ -68,7 +68,7 @@ class HiSupPredictor(Predictor):
         split = split or self.cfg.evaluation.split
         payload = self.load_checkpoint()
         variables = replicate(self._variables(payload), self.mesh)
-        loader = build_loader(self.cfg, split)
+        loader = build_loader(self.cfg, split, eval_mode=True)
 
         predictions: list[dict] = []
         t0 = time.time()

@@ -140,7 +140,7 @@ class Pix2PolyPredictor(Predictor):
         split = split or self.cfg.evaluation.split
         payload = self.load_checkpoint()
         variables = replicate(self._variables(payload), self.mesh)
-        loader = build_loader(self.cfg, split, tokenizer=self.tokenizer)
+        loader = build_loader(self.cfg, split, tokenizer=self.tokenizer, eval_mode=True)
 
         predictions: list[dict] = []
         t0 = time.time()
