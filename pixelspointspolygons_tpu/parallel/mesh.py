@@ -76,12 +76,16 @@ def shard_batch(batch: Any, mesh: Mesh, compress_floats: bool = True) -> Any:
     to f32 inside the step.
     """
     sh = data_sharding(mesh)
+    n_dev = int(np.prod(mesh.devices.shape))
 
     def put(key: str, x: Any) -> Any:
         arr = np.asarray(x)
         if compress_floats and arr.dtype == np.float32 and key in _F16_SAFE_KEYS:
             arr = arr.astype(np.float16)
-        return jax.device_put(arr, sh)
+        # single-tile / odd batches that don't divide the mesh fall back to
+        # replication (e.g. predict_demo's batch of 1 on a multi-chip mesh)
+        target = sh if arr.shape and arr.shape[0] % n_dev == 0 else replicated_sharding(mesh)
+        return jax.device_put(arr, target)
 
     if isinstance(batch, dict):
         return {k: put(k, v) for k, v in batch.items()}
