@@ -241,6 +241,19 @@ def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
     return points[keep]
 
 
+def presimplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Light DP pass on the closed ring BEFORE corner detection: on dense
+    (≈1 px spacing) optimized contours the per-edge directions staircase,
+    which makes the u/v-alignment corner test flag spurious corners that then
+    block simplification (observed ~30 vertices/building vs ~5 GT). Longer
+    pre-simplified edges give stable directions for the corner test."""
+    if len(ring) < 5:
+        return ring
+    closed = np.concatenate([ring, ring[:1]])
+    out = douglas_peucker(closed, tol)[:-1]
+    return out if len(out) >= 3 else ring
+
+
 def simplify_ring_with_corners(ring: np.ndarray, corners: np.ndarray, tol: float) -> np.ndarray:
     """Split a closed ring at corner vertices, DP-simplify each polyline,
     reassemble (reference split_polylines_corner + simplify)."""
@@ -396,6 +409,7 @@ class Polygonizer:
                 if b not in uv_cache:
                     uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
                 u, v = uv_cache[b]
+                ring = presimplify_ring(ring, float(tol) * 0.5)
                 corners = detect_corners(ring, u, v)
                 simp = simplify_ring_with_corners(ring, corners, float(tol))
                 per_sample[b].append(simp)
