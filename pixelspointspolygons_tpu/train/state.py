@@ -65,3 +65,22 @@ def compute_dtype(cfg):
 
     name = str(cfg.host.get("compute_dtype", "float32")).lower()
     return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.float32
+
+
+def model_summary(params, max_depth: int = 3) -> str:
+    """Human-readable parameter tree with shapes and counts (the reference's
+    torchview plot_model_architecture equivalent, text form)."""
+    lines = []
+
+    def rec(node, name, depth):
+        if isinstance(node, dict) and depth < max_depth:
+            total = num_params(node)
+            lines.append(f"{'  ' * depth}{name}: {total/1e6:.3f}M")
+            for k in sorted(node):
+                rec(node[k], k, depth + 1)
+        else:
+            total = num_params(node) if isinstance(node, dict) else node.size
+            lines.append(f"{'  ' * depth}{name}: {total/1e6:.3f}M")
+
+    rec(params, "model", 0)
+    return "\n".join(lines)
