@@ -15,8 +15,9 @@ Per-model items:
   disk, replacing the reference's offline .pt preprocessing).
 
 Image loading: PNG/JPEG/TIFF via cv2/PIL (rasterio is not available).
-LiDAR loading: .npz (points array) or uncompressed .las; COPC .laz decode is
-gated until the native decoder lands.
+LiDAR loading: .npz (points array), uncompressed .las, and COPC/LASzip .laz
+via the native codec (native/laszip.cpp), matching the reference's
+laspy[lazrs] path (p3_coco.py:74-101).
 """
 
 from __future__ import annotations
@@ -57,9 +58,10 @@ def load_las_points(path: str) -> np.ndarray:
         point_offset = int.from_bytes(header[96:100], "little")
         fmt = header[104]
         if fmt > 10:
-            raise NotImplementedError(
-                f"LAZ-compressed point format {fmt} — decode via native ext pending"
-            )
+            # LAZ-compressed payload inside a .las extension
+            from ..native.laz import read_laz
+
+            return read_laz(path)
         rec_len = int.from_bytes(header[105:107], "little")
         n_legacy = int.from_bytes(header[107:111], "little")
         sx, sy, sz = np.frombuffer(header[131:155], "<f8")
@@ -81,10 +83,11 @@ def load_lidar_file(path: str) -> np.ndarray:
     if path.endswith(".las"):
         return load_las_points(path)
     if path.endswith(".laz"):
-        raise NotImplementedError(
-            "COPC .laz decoding requires the native LAZ decoder (pending); "
-            "convert tiles to .las/.npz in the meantime"
-        )
+        # COPC / LASzip decode via the native codec (reference: laspy[lazrs]
+        # at datasets/p3_coco.py:78)
+        from ..native.laz import read_laz
+
+        return read_laz(path)
     raise ValueError(f"unsupported lidar format: {path}")
 
 
@@ -266,18 +269,27 @@ class P3Dataset:
         if params["d4"] != "e":
             mask = np.ascontiguousarray(augment.apply_d4_image(mask, params["d4"]))
 
-        juncs = np.zeros((MAX_JUNCTIONS, 2), np.float32)
-        tags = np.zeros((MAX_JUNCTIONS,), np.int32)
-        jvalid = np.zeros((MAX_JUNCTIONS,), bool)
-        edges = np.zeros((MAX_EDGES, 4), np.float32)
-        evalid = np.zeros((MAX_EDGES,), bool)
+        model_cfg = self.cfg.experiment.model
+        max_j = int(model_cfg.get("max_junctions") or MAX_JUNCTIONS)
+        max_e = int(model_cfg.get("max_edges") or MAX_EDGES)
+        juncs = np.zeros((max_j, 2), np.float32)
+        tags = np.zeros((max_j,), np.int32)
+        jvalid = np.zeros((max_j,), bool)
+        edges = np.zeros((max_e, 4), np.float32)
+        evalid = np.zeros((max_e,), bool)
         jp = ep = 0
         for p in self._polygons(info):
             pts = p.copy()
             if params["d4"] != "e":
                 pts = augment.apply_d4_keypoints(pts, params["d4"], H, W)
             n = len(pts)
-            if jp + n > MAX_JUNCTIONS or ep + n > MAX_EDGES:
+            if jp + n > max_j or ep + n > max_e:
+                self.logger.warning(
+                    f"tile {info['id']}: HiSup GT truncated at "
+                    f"{jp} junctions / {ep} edges (caps "
+                    f"model.max_junctions={max_j}, model.max_edges={max_e}) — "
+                    "remaining polygons dropped from training targets"
+                )
                 break
             # convex-hull membership → tag 2 (convex), else 1 (p3_coco.py:648-657)
             hull = cv2.convexHull(pts.astype(np.float32)).reshape(-1, 2)
