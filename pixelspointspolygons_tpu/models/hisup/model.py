@@ -266,6 +266,7 @@ def extract_junctions(jloc_softmax: jnp.ndarray, joff: jnp.ndarray, topk: int = 
     filtered by the host.
     """
     B, _, H, W = jloc_softmax.shape
+    topk = min(topk, H * W)  # tiny decoder maps (CPU smoke configs) have < topk pixels
 
     def one_class(prob):
         p = nms_2d(prob)

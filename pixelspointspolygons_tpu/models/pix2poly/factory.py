@@ -22,8 +22,12 @@ def _vit_kwargs(enc) -> dict:
 def encoder_config(cfg) -> dict:
     enc = cfg.experiment.encoder
     name = enc.name
-    if name in ("vit", "vit_dinov2"):
+    if name == "vit":
         return {"name": "vit", **_vit_kwargs(enc)}
+    if name == "vit_dinov2":
+        # DINOv2 ViT-S/14 trunk: LayerScale blocks (reference
+        # models/vision_transformer/vit_dinov2.py:11-62 loads dinov2_vits14)
+        return {"name": "vit", **_vit_kwargs(enc), "layer_scale": True}
     if name == "pointpillars_vit":
         return {
             "name": "pointpillars_vit",

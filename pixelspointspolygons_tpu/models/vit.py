@@ -33,17 +33,22 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    layer_scale: bool = False  # DINOv2-style LayerScale (ls1/ls2 gammas)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype)(h, h)
+        if self.layer_scale:
+            h = h * self.param("ls1", nn.initializers.constant(1e-5), (self.dim,)).astype(h.dtype)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype)(
             h, deterministic=deterministic
         )
+        if self.layer_scale:
+            h = h * self.param("ls2", nn.initializers.constant(1e-5), (self.dim,)).astype(h.dtype)
         return x + h
 
 
@@ -55,6 +60,7 @@ class ViTBackbone(nn.Module):
     dim: int = 384
     depth: int = 12
     num_heads: int = 6
+    layer_scale: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,7 +96,10 @@ class ViTBackbone(nn.Module):
         x = x + pos.astype(self.dtype)
 
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}")(
+            x = ViTBlock(
+                self.dim, self.num_heads, layer_scale=self.layer_scale,
+                dtype=self.dtype, name=f"block{i}",
+            )(
                 x, deterministic=deterministic
             )
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -105,13 +114,14 @@ class ViTEncoder(nn.Module):
     depth: int = 12
     num_heads: int = 6
     out_dim: Optional[int] = 256  # None = no bottleneck
+    layer_scale: bool = False  # DINOv2 trunk
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, *, deterministic: bool = True):
         x = ViTBackbone(
             self.img_size, self.patch_size, self.dim, self.depth, self.num_heads,
-            dtype=self.dtype, name="vit",
+            layer_scale=self.layer_scale, dtype=self.dtype, name="vit",
         )(images, deterministic=deterministic)
         x = x[:, 1:]
         if self.out_dim is not None and self.out_dim != self.dim:
@@ -129,13 +139,14 @@ class ViTCNNEncoder(nn.Module):
     num_heads: int = 6
     out_size: int = 224
     out_dim: int = 256
+    layer_scale: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, *, train: bool = False, deterministic: bool = True):
         x = ViTBackbone(
             self.img_size, self.patch_size, self.dim, self.depth, self.num_heads,
-            dtype=self.dtype, name="vit",
+            layer_scale=self.layer_scale, dtype=self.dtype, name="vit",
         )(images, deterministic=deterministic)
         x = x[:, 1:]
         B, N, C = x.shape

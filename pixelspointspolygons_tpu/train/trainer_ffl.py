@@ -54,6 +54,9 @@ class FFLTrainer(Trainer):
             if k in sample
         }
         variables = self.model.init(jax.random.PRNGKey(0), init_inputs)
+        from ..utils.pretrained import apply_pretrained_encoder
+
+        variables = apply_pretrained_encoder(self.cfg, variables, self.logger)
         self.state = create_train_state(self.model, variables, tx)
         self.maybe_resume()
         self.state = self.replicate(self.state)

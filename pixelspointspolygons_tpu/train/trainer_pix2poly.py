@@ -51,6 +51,9 @@ class Pix2PolyTrainer(Trainer):
         variables = self.model.init(
             jax.random.PRNGKey(0), init_inputs, jnp.asarray(sample["y"][:2, :-1])
         )
+        from ..utils.pretrained import apply_pretrained_encoder
+
+        variables = apply_pretrained_encoder(self.cfg, variables, self.logger)
         self.state = create_train_state(self.model, variables, tx)
         self.maybe_resume()
         self.state = self.replicate(self.state)

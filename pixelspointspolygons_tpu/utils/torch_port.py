@@ -81,3 +81,143 @@ def load_pretrained_vit(checkpoint_file: str, depth: int = 12) -> dict:
     if isinstance(payload, dict) and "model" in payload and isinstance(payload["model"], dict):
         payload = payload["model"]
     return port_timm_vit(payload, depth=depth)
+
+
+def port_dinov2_vit(state_dict: Mapping[str, Any], depth: int = 12) -> dict:
+    """DINOv2 ViT-S/14 state_dict → params for ViTBackbone(layer_scale=True).
+
+    DINOv2 (facebookresearch/dinov2 `dinov2_vits14`; the reference loads it at
+    models/vision_transformer/vit_dinov2.py:27) differs from timm ViT only by
+    the per-block LayerScale gammas (`blocks.i.ls1.gamma` / `ls2.gamma`) and an
+    unused `mask_token`. Reuses the timm mapping for everything else.
+    """
+    params = port_timm_vit(state_dict, depth=depth)
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    for i in range(depth):
+        params[f"block{i}"]["ls1"] = sd[f"blocks.{i}.ls1.gamma"]
+        params[f"block{i}"]["ls2"] = sd[f"blocks.{i}.ls2.gamma"]
+    return params
+
+
+def _hrnet_entries(
+    *,
+    width: int = 48,
+    stage1_planes: int = 64,
+    stage1_blocks: int = 4,
+    num_blocks: int = 4,
+    num_modules=(1, 4, 3),
+    stem_ch: int = 64,
+):
+    """Yield (torch_prefix, flax_name, kind) for every conv/bn of HRNetV2,
+    mirroring models.hrnet.HRNetEncoder's construction (and the torch module
+    layout of reference models/hrnet/hrnet48v2.py:263-480)."""
+    out = [
+        ("conv1", "conv1", "conv"),
+        ("bn1", "bn1", "bn"),
+        ("conv2", "conv2", "conv"),
+        ("bn2", "bn2", "bn"),
+    ]
+    for k in range(stage1_blocks):
+        t, f = f"layer1.{k}", f"layer1_b{k}"
+        for c in ("1", "2", "3"):
+            out += [(f"{t}.conv{c}", f"{f}/conv{c}", "conv"), (f"{t}.bn{c}", f"{f}/bn{c}", "bn")]
+        if k == 0 and stem_ch != stage1_planes * 4:
+            out += [(f"{t}.downsample.0", f"{f}/down_conv", "conv"),
+                    (f"{t}.downsample.1", f"{f}/down_bn", "bn")]
+    widths = [width * (2**i) for i in range(1 + len(num_modules))]
+    pre = [stage1_planes * 4]
+    for stage, nmod in zip(range(2, 2 + len(num_modules)), num_modules):
+        cur = widths[:stage]
+        t_idx = stage - 1
+        for i in range(len(cur)):
+            if i < len(pre):
+                if pre[i] != cur[i]:
+                    out += [(f"transition{t_idx}.{i}.0", f"transition{t_idx}_{i}_conv", "conv"),
+                            (f"transition{t_idx}.{i}.1", f"transition{t_idx}_{i}_bn", "bn")]
+            else:
+                for j in range(i + 1 - len(pre)):
+                    out += [(f"transition{t_idx}.{i}.{j}.0", f"transition{t_idx}_{i}_{j}_conv", "conv"),
+                            (f"transition{t_idx}.{i}.{j}.1", f"transition{t_idx}_{i}_{j}_bn", "bn")]
+        n = len(cur)
+        for m in range(nmod):
+            t, f = f"stage{stage}.{m}", f"stage{stage}_m{m}"
+            for i in range(n):
+                for k in range(num_blocks):
+                    tb, fb = f"{t}.branches.{i}.{k}", f"{f}/branch{i}_b{k}"
+                    out += [(f"{tb}.conv1", f"{fb}/conv1", "conv"), (f"{tb}.bn1", f"{fb}/bn1", "bn"),
+                            (f"{tb}.conv2", f"{fb}/conv2", "conv"), (f"{tb}.bn2", f"{fb}/bn2", "bn")]
+            for i in range(n):
+                for j in range(n):
+                    if j > i:
+                        out += [(f"{t}.fuse_layers.{i}.{j}.0", f"{f}/fuse{i}_{j}_conv", "conv"),
+                                (f"{t}.fuse_layers.{i}.{j}.1", f"{f}/fuse{i}_{j}_bn", "bn")]
+                    elif j < i:
+                        for k in range(i - j):
+                            out += [(f"{t}.fuse_layers.{i}.{j}.{k}.0", f"{f}/fuse{i}_{j}_{k}_conv", "conv"),
+                                    (f"{t}.fuse_layers.{i}.{j}.{k}.1", f"{f}/fuse{i}_{j}_{k}_bn", "bn")]
+        pre = cur
+    out += [("last_layer.0", "last_conv1", "conv"),
+            ("last_layer.1", "last_bn", "bn"),
+            ("last_layer.3", "last_conv2", "conv")]
+    return out
+
+
+def port_hrnet(state_dict: Mapping[str, Any], variables: Mapping[str, Any], **topo) -> dict:
+    """Load an HRNetV2 torch state_dict into an HRNetEncoder variables tree.
+
+    `variables` is a freshly-initialized `{'params': ..., 'batch_stats': ...}`
+    tree for models.hrnet.HRNetEncoder (or a subtree rooted at it). Keys
+    present in the state_dict override the init; missing keys (e.g. the
+    ImageNet checkpoint has no `last_layer.*`) keep their init values — the
+    same intersect-and-update the reference does (hrnet48v2.py:542-552).
+    Returns (new_variables, loaded_keys, skipped_prefixes). `topo` kwargs
+    must match the HRNetEncoder attributes (width, num_modules, ...).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    new = jax_tree_to_mutable(variables)
+
+    def set_path(col, path, leaf_name, value):
+        node = new.get(col)
+        for p in path.split("/"):
+            if not isinstance(node, dict) or p not in node:
+                raise KeyError(f"{col}:{path} not in variables (topology mismatch?)")
+            node = node[p]
+        if leaf_name not in node:
+            raise KeyError(f"{col}:{path}/{leaf_name} not in variables")
+        if np.shape(node[leaf_name]) != np.shape(value):
+            raise ValueError(
+                f"{col}:{path}/{leaf_name} shape {np.shape(node[leaf_name])} != "
+                f"checkpoint {np.shape(value)}"
+            )
+        node[leaf_name] = value
+
+    loaded, skipped = [], []
+    for torch_prefix, flax_name, kind in _hrnet_entries(**topo):
+        if kind == "conv":
+            wk = f"{torch_prefix}.weight"
+            if wk not in sd:
+                skipped.append(torch_prefix)
+                continue
+            set_path("params", flax_name, "kernel", np.transpose(sd[wk], (2, 3, 1, 0)))
+            bk = f"{torch_prefix}.bias"
+            if bk in sd:
+                set_path("params", flax_name, "bias", sd[bk])
+            loaded.append(torch_prefix)
+        else:  # bn
+            wk = f"{torch_prefix}.weight"
+            if wk not in sd:
+                skipped.append(torch_prefix)
+                continue
+            set_path("params", flax_name, "scale", sd[wk])
+            set_path("params", flax_name, "bias", sd[f"{torch_prefix}.bias"])
+            set_path("batch_stats", flax_name, "mean", sd[f"{torch_prefix}.running_mean"])
+            set_path("batch_stats", flax_name, "var", sd[f"{torch_prefix}.running_var"])
+            loaded.append(torch_prefix)
+    return new, loaded, skipped
+
+
+def jax_tree_to_mutable(tree):
+    """FrozenDict/dict tree → plain nested dicts (deep)."""
+    if hasattr(tree, "items"):
+        return {k: jax_tree_to_mutable(v) for k, v in tree.items()}
+    return tree

@@ -109,7 +109,10 @@ class TestModel:
 
     def test_hrnet_encoder(self, key):
         model = HiSup(
-            encoder_cfg={"name": "hrnet", "in_size": 32, "width": 8, "blocks_per_stage": 1},
+            encoder_cfg={
+                "name": "hrnet", "in_size": 32, "width": 8, "stage1_planes": 8,
+                "stage1_blocks": 1, "num_blocks": 1, "num_modules": (1, 1, 1),
+            },
             dim=32,
             pred_size=32,
         )

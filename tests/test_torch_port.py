@@ -94,3 +94,253 @@ def test_ported_vit_matches_torch(rng):
     got = model.apply({"params": params}, jnp.asarray(x_np))
     want = torch_vit_forward(sd, torch.tensor(x_np).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)  # f32 accumulation-order noise; wrong wiring would be O(1)
+
+
+def test_ported_dinov2_matches_torch(rng):
+    """DINOv2 layout = timm + LayerScale gammas (reference vit_dinov2.py:27)."""
+    from pixelspointspolygons_tpu.utils.torch_port import port_dinov2_vit
+
+    sd = make_torch_vit_state(seed=3)
+    g = torch.Generator().manual_seed(7)
+    for i in range(DEPTH):
+        sd[f"blocks.{i}.ls1.gamma"] = torch.randn(DIM, generator=g) * 0.1
+        sd[f"blocks.{i}.ls2.gamma"] = torch.randn(DIM, generator=g) * 0.1
+    params = port_dinov2_vit(sd, depth=DEPTH)
+
+    model = ViTBackbone(
+        img_size=IMG, patch_size=PATCH, dim=DIM, depth=DEPTH, num_heads=HEADS,
+        layer_scale=True,
+    )
+    x_np = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+    got = model.apply({"params": params}, jnp.asarray(x_np))
+
+    # torch side: timm forward with LayerScale spliced in
+    x = torch.tensor(x_np).permute(0, 3, 1, 2)
+    B = x.shape[0]
+    x = torch.nn.functional.conv2d(
+        x, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=PATCH
+    ).flatten(2).transpose(1, 2)
+    x = torch.cat([sd["cls_token"].expand(B, -1, -1), x], dim=1) + sd["pos_embed"]
+    ln = torch.nn.functional.layer_norm
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        h = ln(x, (DIM,), sd[p + "norm1.weight"], sd[p + "norm1.bias"])
+        qkv = h @ sd[p + "attn.qkv.weight"].T + sd[p + "attn.qkv.bias"]
+        q, k, v = qkv.chunk(3, dim=-1)
+        hd = DIM // HEADS
+        rs = lambda t: t.reshape(B, -1, HEADS, hd).transpose(1, 2)
+        att = torch.softmax(rs(q) @ rs(k).transpose(-1, -2) / hd**0.5, dim=-1)
+        out = (att @ rs(v)).transpose(1, 2).reshape(B, -1, DIM)
+        out = out @ sd[p + "attn.proj.weight"].T + sd[p + "attn.proj.bias"]
+        x = x + out * sd[p + "ls1.gamma"]
+        h = ln(x, (DIM,), sd[p + "norm2.weight"], sd[p + "norm2.bias"])
+        h = torch.nn.functional.gelu(h @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"])
+        h = h @ sd[p + "mlp.fc2.weight"].T + sd[p + "mlp.fc2.bias"]
+        x = x + h * sd[p + "ls2.gamma"]
+    want = ln(x, (DIM,), sd["norm.weight"], sd["norm.bias"]).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=2e-3)  # f32 accumulation noise; wrong wiring would be O(1)
+
+
+# ---------------------------------------------------------------------------
+# HRNetV2 port parity: a lazily-materialized random torch state_dict driven
+# through a functional forward with the reference's exact semantics
+# (hrnet48v2.py:482-529) vs our flax HRNetEncoder with ported weights.
+
+TOPO = dict(width=4, stage1_planes=4, stage1_blocks=2, num_blocks=2,
+            num_modules=(1, 1, 1), stem_ch=8)
+HR_IMG, HR_OUT = 32, 12
+
+
+class _TorchHR:
+    """Functional HRNet forward; creates random params on first use so the
+    state_dict layout is defined by *consumption*, exactly like torch keys."""
+
+    def __init__(self, seed=0):
+        self.sd = {}
+        self.g = torch.Generator().manual_seed(seed)
+
+    def conv(self, p, x, ch, k, s=1, bias=False):
+        wk = p + ".weight"
+        if wk not in self.sd:
+            self.sd[wk] = torch.randn(ch, x.shape[1], k, k, generator=self.g) * (0.3 / k)
+            if bias:
+                self.sd[p + ".bias"] = torch.randn(ch, generator=self.g) * 0.05
+        return torch.nn.functional.conv2d(
+            x, self.sd[wk], self.sd.get(p + ".bias"), stride=s, padding=k // 2
+        )
+
+    def bn(self, p, x):
+        n = x.shape[1]
+        if p + ".weight" not in self.sd:
+            r = lambda: torch.randn(n, generator=self.g)
+            self.sd[p + ".weight"] = 1 + 0.1 * r()
+            self.sd[p + ".bias"] = 0.1 * r()
+            self.sd[p + ".running_mean"] = 0.1 * r()
+            self.sd[p + ".running_var"] = (0.1 * r()).abs() + 0.5
+        return torch.nn.functional.batch_norm(
+            x, self.sd[p + ".running_mean"], self.sd[p + ".running_var"],
+            self.sd[p + ".weight"], self.sd[p + ".bias"], training=False,
+        )
+
+    def forward(self, x, out_dim, *, width, stage1_planes, stage1_blocks,
+                num_blocks, num_modules, stem_ch):
+        relu = torch.relu
+        up = lambda t, size: torch.nn.functional.interpolate(
+            t, size=size, mode="bilinear", align_corners=True)
+        x = relu(self.bn("bn1", self.conv("conv1", x, stem_ch, 3, 2)))
+        x = relu(self.bn("bn2", self.conv("conv2", x, stem_ch, 3, 2)))
+        for k in range(stage1_blocks):
+            p = f"layer1.{k}"
+            res = x
+            h = relu(self.bn(p + ".bn1", self.conv(p + ".conv1", x, stage1_planes, 1)))
+            h = relu(self.bn(p + ".bn2", self.conv(p + ".conv2", h, stage1_planes, 3)))
+            h = self.bn(p + ".bn3", self.conv(p + ".conv3", h, stage1_planes * 4, 1))
+            if x.shape[1] != stage1_planes * 4:
+                res = self.bn(p + ".downsample.1",
+                              self.conv(p + ".downsample.0", x, stage1_planes * 4, 1))
+            x = relu(h + res)
+        widths = [width * (2**i) for i in range(1 + len(num_modules))]
+        xs = [x]
+        for stage, nmod in zip(range(2, 2 + len(num_modules)), num_modules):
+            cur = widths[:stage]
+            t = stage - 1
+            new_xs = []
+            for i in range(len(cur)):
+                if i < len(xs):
+                    if xs[i].shape[1] != cur[i]:
+                        h = relu(self.bn(f"transition{t}.{i}.1",
+                                         self.conv(f"transition{t}.{i}.0", xs[i], cur[i], 3)))
+                    else:
+                        h = xs[i]
+                else:
+                    h = xs[-1]
+                    for j in range(i + 1 - len(xs)):
+                        ch = cur[i] if j == i - len(xs) else xs[-1].shape[1]
+                        h = relu(self.bn(f"transition{t}.{i}.{j}.1",
+                                         self.conv(f"transition{t}.{i}.{j}.0", h, ch, 3, 2)))
+                new_xs.append(h)
+            xs = new_xs
+            for m in range(nmod):
+                pm = f"stage{stage}.{m}"
+                for i in range(len(cur)):
+                    h = xs[i]
+                    for k in range(num_blocks):
+                        pb = f"{pm}.branches.{i}.{k}"
+                        a = relu(self.bn(pb + ".bn1", self.conv(pb + ".conv1", h, cur[i], 3)))
+                        a = self.bn(pb + ".bn2", self.conv(pb + ".conv2", a, cur[i], 3))
+                        h = relu(a + h)
+                    xs[i] = h
+                outs = []
+                for i in range(len(cur)):
+                    acc = None
+                    for j in range(len(cur)):
+                        if j == i:
+                            tt = xs[j]
+                        elif j > i:
+                            pf = f"{pm}.fuse_layers.{i}.{j}"
+                            tt = self.bn(pf + ".1", self.conv(pf + ".0", xs[j], cur[i], 1))
+                            tt = up(tt, xs[i].shape[2:])
+                        else:
+                            tt = xs[j]
+                            for k in range(i - j):
+                                last = k == i - j - 1
+                                ch = cur[i] if last else cur[j]
+                                pf = f"{pm}.fuse_layers.{i}.{j}.{k}"
+                                tt = self.bn(pf + ".1", self.conv(pf + ".0", tt, ch, 3, 2))
+                                if not last:
+                                    tt = relu(tt)
+                        acc = tt if acc is None else acc + tt
+                    outs.append(relu(acc))
+                xs = outs
+        ups = [xs[0]] + [up(h, xs[0].shape[2:]) for h in xs[1:]]
+        x = torch.cat(ups, 1)
+        x = relu(self.bn("last_layer.1", self.conv("last_layer.0", x, x.shape[1], 1, bias=True)))
+        return self.conv("last_layer.3", x, out_dim, 1, bias=True)
+
+
+def test_ported_hrnet_matches_torch(rng):
+    import jax.numpy as jnp
+
+    from pixelspointspolygons_tpu.models.hrnet import HRNetEncoder
+    from pixelspointspolygons_tpu.utils.torch_port import port_hrnet
+
+    x_np = rng.rand(2, HR_IMG, HR_IMG, 3).astype(np.float32)
+    ref = _TorchHR(seed=11)
+    with torch.no_grad():
+        want = ref.forward(torch.tensor(x_np).permute(0, 3, 1, 2), HR_OUT, **TOPO).numpy()
+
+    model = HRNetEncoder(in_size=HR_IMG, out_dim=HR_OUT, **TOPO)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    new_vars, loaded, skipped = port_hrnet(ref.sd, variables, **TOPO)
+    assert not skipped, skipped  # every enumerated entry must exist in the sd
+    # and the sd must be fully consumed (no unmapped torch keys)
+    consumed = set()
+    from pixelspointspolygons_tpu.utils.torch_port import _hrnet_entries
+    for tp, _, kind in _hrnet_entries(**TOPO):
+        consumed |= {f"{tp}.weight", f"{tp}.bias"}
+        if kind == "bn":
+            consumed |= {f"{tp}.running_mean", f"{tp}.running_var"}
+    assert set(ref.sd) <= consumed, set(ref.sd) - consumed
+
+    got = model.apply(new_vars, jnp.asarray(x_np), train=False)
+    want_nhwc = np.transpose(want, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), want_nhwc, atol=3e-4, rtol=1e-4)
+
+
+def test_hrnet_partial_port_keeps_init(rng):
+    """ImageNet checkpoints lack last_layer.* — port must keep init there
+    (reference intersect-and-update, hrnet48v2.py:542-552)."""
+    import jax.numpy as jnp
+
+    from pixelspointspolygons_tpu.models.hrnet import HRNetEncoder
+    from pixelspointspolygons_tpu.utils.torch_port import port_hrnet
+
+    ref = _TorchHR(seed=5)
+    x_np = rng.rand(1, HR_IMG, HR_IMG, 3).astype(np.float32)
+    with torch.no_grad():
+        ref.forward(torch.tensor(x_np).permute(0, 3, 1, 2), HR_OUT, **TOPO)
+    sd = {k: v for k, v in ref.sd.items() if not k.startswith("last_layer")}
+
+    model = HRNetEncoder(in_size=HR_IMG, out_dim=HR_OUT, **TOPO)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    new_vars, loaded, skipped = port_hrnet(sd, variables, **TOPO)
+    assert set(skipped) == {"last_layer.0", "last_layer.1", "last_layer.3"}
+    np.testing.assert_array_equal(
+        new_vars["params"]["last_conv2"]["kernel"],
+        variables["params"]["last_conv2"]["kernel"],
+    )
+    # still runs
+    model.apply(new_vars, jnp.asarray(x_np), train=False)
+
+
+def test_apply_pretrained_encoder_vit_graft():
+    """apply_pretrained_encoder grafts a timm sd into every ViT trunk, keeping
+    shape-mismatched leaves (e.g. pillar trunks without patch_embed) on init."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from pixelspointspolygons_tpu.utils.pretrained import _find_vit_trunks, _graft
+    from pixelspointspolygons_tpu.utils.torch_port import port_timm_vit
+
+    sd = make_torch_vit_state(seed=1)
+    ported = port_timm_vit(sd, depth=DEPTH)
+
+    model = ViTBackbone(img_size=IMG, patch_size=PATCH, dim=DIM, depth=DEPTH, num_heads=HEADS)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    init = jax.tree_util.tree_map(np.asarray, model.init(jax.random.PRNGKey(0), x)["params"])
+    tree = {"encoder": {"vit": dict(init)}, "decoder": {"w": np.zeros((3, 3))}}
+    assert _find_vit_trunks(tree) == [("encoder", "vit")]
+
+    loaded, skipped = _graft(tree["encoder"]["vit"], ported)
+    assert skipped == 0 and loaded > 0
+    np.testing.assert_array_equal(
+        tree["encoder"]["vit"]["cls_token"], sd["cls_token"].numpy()
+    )
+
+    # shape mismatch (different pos_embed length) is kept on init, not crashed
+    tree2 = {"vit": dict(init)}
+    tree2["vit"]["pos_embed"] = np.zeros((1, 5, DIM), np.float32)
+    loaded2, skipped2 = _graft(tree2["vit"], ported)
+    assert skipped2 == 1
+    assert tree2["vit"]["pos_embed"].shape == (1, 5, DIM)
