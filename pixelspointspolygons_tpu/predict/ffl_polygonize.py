@@ -41,9 +41,13 @@ V_MAX = 1024  # vertices per ring
 # --------------------------------------------------------------------------
 
 
-def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
-    """Closed boundary rings (V, 2) in (y, x) float coords for one (H, W)
-    probability map.
+def extract_contours_flagged(
+    mask: np.ndarray, level: float = 0.5
+) -> list[tuple[np.ndarray, bool]]:
+    """Boundary contours [(ring (V, 2) float (y, x), closed)] for one (H, W)
+    probability map. Open contours (closed=False) start/end on the image
+    border — exactly the ones the reference closes through the image-border
+    ring union (polygonize_acm.py:288-299).
 
     Uses the native subpixel marching-squares kernel (native/geometry.cpp,
     the skimage find_contours equivalent of polygonize_utils.py:15-44) when
@@ -54,9 +58,9 @@ def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
         out = []
         for ring, closed in find_contours(mask, level):
             if closed and len(ring) >= 4:
-                out.append(ring[:-1].copy())  # drop repeated last vertex
-            elif not closed and len(ring) >= 3:
-                out.append(ring.copy())
+                out.append((ring[:-1].copy(), True))  # drop repeated last vertex
+            elif not closed and len(ring) >= 2:
+                out.append((ring.copy(), False))
         return out
     except RuntimeError:
         pass
@@ -67,8 +71,14 @@ def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
         c = c.reshape(-1, 2).astype(np.float64)  # (x, y)
         if len(c) < 3:
             continue
-        out.append(c[:, ::-1].copy())  # → (y, x)
+        out.append((c[:, ::-1].copy(), True))  # → (y, x); cv2 traces closed
     return out
+
+
+def extract_contours(mask: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
+    """Rings only (open contours included verbatim); see
+    extract_contours_flagged for border-closure semantics."""
+    return [ring for ring, _ in extract_contours_flagged(mask, level)]
 
 
 def _decimate(ring: np.ndarray, max_len: int) -> np.ndarray:
@@ -78,27 +88,39 @@ def _decimate(ring: np.ndarray, max_len: int) -> np.ndarray:
     return ring[np.unique(idx)]
 
 
-def pack_contours(contours_per_sample: list[list[np.ndarray]]):
+def pack_contours(contours_per_sample: list[list[tuple[np.ndarray, bool]]]):
     """→ (pos (P,V,2) f32, vmask (P,V) bool, next_idx (P,V) i32,
-    batch_idx (P,) i32, ring_count). Rings beyond P_MAX are dropped (logged
-    by caller); vertices are decimated to V_MAX."""
+    batch_idx (P,) i32, pinned (P,V) bool, closed (P,) bool, ring_count).
+    Rings beyond P_MAX are dropped (logged by caller); vertices are decimated
+    to V_MAX. Open polylines get no wrap-around edge and their endpoints are
+    pinned (the reference pins TensorPoly endpoints every optimizer step,
+    polygonize_acm.py:203-204)."""
     pos = np.zeros((P_MAX, V_MAX, 2), np.float32)
     vmask = np.zeros((P_MAX, V_MAX), bool)
     next_idx = np.tile(np.arange(V_MAX, dtype=np.int32), (P_MAX, 1))
     batch_idx = np.zeros((P_MAX,), np.int32)
+    pinned = np.zeros((P_MAX, V_MAX), bool)
+    closed_fl = np.zeros((P_MAX,), bool)
     p = 0
     for b, rings in enumerate(contours_per_sample):
-        for ring in rings:
+        for ring, closed in rings:
             if p >= P_MAX:
                 break
             ring = _decimate(ring, V_MAX)
             n = len(ring)
+            if n < (3 if closed else 2):
+                continue
             pos[p, :n] = ring
             vmask[p, :n] = True
-            next_idx[p, :n] = (np.arange(n) + 1) % n
+            if closed:
+                next_idx[p, :n] = (np.arange(n) + 1) % n
+            else:
+                next_idx[p, : n - 1] = np.arange(1, n)
+                pinned[p, 0] = pinned[p, n - 1] = True
             batch_idx[p] = b
+            closed_fl[p] = closed
             p += 1
-    return pos, vmask, next_idx, batch_idx, p
+    return pos, vmask, next_idx, batch_idx, pinned, closed_fl, p
 
 
 # --------------------------------------------------------------------------
@@ -155,6 +177,7 @@ def acm_optimize(
     batch_idx,
     indicator,
     c0c2,
+    pinned=None,
     *,
     steps: int = 500,
     poly_lr: float = 0.01,
@@ -176,6 +199,8 @@ def acm_optimize(
         lambda p: _acm_loss(p, vmask, next_idx, batch_idx, indicator, c0c2, params)
     )
     fm = vmask.astype(jnp.float32)[..., None]
+    if pinned is not None:
+        fm = fm * (1.0 - pinned.astype(jnp.float32))[..., None]
 
     def body(p, it):
         coef = jnp.where(
@@ -195,12 +220,21 @@ def acm_optimize(
 # --------------------------------------------------------------------------
 
 
-def detect_corners(ring: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Corner mask for a closed ring (V, 2) (y, x): XOR of u/v alignment of
-    the left and right edges (reference frame_field_utils.detect_corners)."""
+def detect_corners(
+    ring: np.ndarray, u: np.ndarray, v: np.ndarray, closed: bool = True
+) -> np.ndarray:
+    """Corner mask for a polyline (V, 2) (y, x): XOR of u/v alignment of
+    the left and right edges (reference frame_field_utils.detect_corners).
+    Endpoints of open polylines are never corners."""
     n = len(ring)
-    left = ring[np.arange(n) - 1] - ring  # edge to previous vertex
-    right = np.roll(ring, -1, axis=0) - ring
+    if closed:
+        left = ring[np.arange(n) - 1] - ring  # edge to previous vertex
+        right = np.roll(ring, -1, axis=0) - ring
+    else:
+        left = np.zeros_like(ring)
+        left[1:] = ring[:-1] - ring[1:]
+        right = np.zeros_like(ring)
+        right[:-1] = ring[1:] - ring[:-1]
     ij = np.clip(np.round(ring).astype(int), [0, 0], [u.shape[0] - 1, u.shape[1] - 1])
     uu = u[ij[:, 0], ij[:, 1]]
     vv = v[ij[:, 0], ij[:, 1]]
@@ -210,7 +244,10 @@ def detect_corners(ring: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray
         sv = np.abs(vv.real * edges[:, 0] + vv.imag * edges[:, 1])
         return sv < su
 
-    return np.logical_xor(u_aligned(left), u_aligned(right))
+    out = np.logical_xor(u_aligned(left), u_aligned(right))
+    if not closed:
+        out[0] = out[-1] = False
+    return out
 
 
 def douglas_peucker(points: np.ndarray, tol: float) -> np.ndarray:
@@ -275,6 +312,97 @@ def simplify_ring_with_corners(ring: np.ndarray, corners: np.ndarray, tol: float
     return out
 
 
+def simplify_polyline_with_corners(pl: np.ndarray, corners: np.ndarray, tol: float) -> np.ndarray:
+    """Open-polyline variant of simplify_ring_with_corners: split at corner
+    vertices, DP-simplify each piece, keep both endpoints."""
+    idx = sorted(set([0, len(pl) - 1] + np.nonzero(corners)[0].tolist()))
+    pieces = []
+    for a, b in zip(idx[:-1], idx[1:]):
+        pieces.append(douglas_peucker(pl[a : b + 1], tol)[:-1])
+    pieces.append(pl[-1:])
+    return np.concatenate(pieces, axis=0)
+
+
+def border_ring_with_nodes(H: int, W: int, endpoints: np.ndarray) -> np.ndarray:
+    """The image-border ring (0,0)→(0,W-1)→(H-1,W-1)→(H-1,0) in (y, x),
+    with `endpoints` (already lying on the border) inserted as vertices so
+    the planar arrangement has nodes where open contours meet the border
+    (the reference gets this for free from shapely unary_union node-splitting,
+    polygonize_acm.py:288-299)."""
+    corners = np.array([[0, 0], [0, W - 1], [H - 1, W - 1], [H - 1, 0]], np.float64)
+    pts = [corners]
+    if len(endpoints):
+        pts.append(np.asarray(endpoints, np.float64))
+    allpts = np.concatenate(pts, axis=0)
+
+    def perimeter_t(p):
+        y, x = p
+        # clamp onto the border and parameterize clockwise from (0,0)
+        if y <= x and y <= (W - 1) - x:  # top edge
+            return np.clip(x, 0, W - 1)
+        if (W - 1) - x <= y and (W - 1) - x <= (H - 1) - y:  # right edge
+            return (W - 1) + np.clip(y, 0, H - 1)
+        if (H - 1) - y <= x and (H - 1) - y <= (W - 1) - x:  # bottom edge
+            return (W - 1) + (H - 1) + (W - 1) - np.clip(x, 0, W - 1)
+        return 2 * (W - 1) + (H - 1) + (H - 1) - np.clip(y, 0, H - 1)  # left
+
+    ts = np.array([perimeter_t(p) for p in allpts])
+    order = np.argsort(ts)
+    ring = allpts[order]
+    # dedup (quantized like faces_from_polylines' node key)
+    keep = [0]
+    for i in range(1, len(ring)):
+        if np.abs(ring[i] - ring[keep[-1]]).max() > 0.2:
+            keep.append(i)
+    ring = ring[keep]
+    return np.concatenate([ring, ring[:1]], axis=0)  # closed polyline
+
+
+def _on_border(p: np.ndarray, H: int, W: int, eps: float = 0.75) -> bool:
+    y, x = p
+    return y < eps or x < eps or y > H - 1 - eps or x > W - 1 - eps
+
+
+def polygonize_with_border(polylines: list[np.ndarray], H: int, W: int) -> list[np.ndarray]:
+    """Planar-arrangement faces of {simplified polylines + image-border ring}
+    — the reference's unary_union + polygonize_full stage
+    (polygonize_acm.py:288-306). Closed polylines repeat their first vertex.
+    Open polylines whose endpoints don't reach the border are dangles: they
+    cannot bound a face (shapely reports them separately) and are dropped."""
+    from .ffl_asm import faces_from_polylines
+
+    kept = []
+    border_nodes = []
+    for pl in polylines:
+        if len(pl) < 2:
+            continue
+        is_closed = bool(np.abs(pl[0] - pl[-1]).max() < 1e-9)
+        if is_closed:
+            kept.append(pl)
+            continue
+        if _on_border(pl[0], H, W) and _on_border(pl[-1], H, W):
+            pl = pl.copy()
+            pl[0] = np.clip(pl[0], 0, [H - 1, W - 1])
+            pl[-1] = np.clip(pl[-1], 0, [H - 1, W - 1])
+            # snap exactly onto the nearest border line
+            for idx in (0, -1):
+                y, x = pl[idx]
+                d = np.array([y, x, H - 1 - y, W - 1 - x])
+                side = int(np.argmin(d))
+                if side == 0:
+                    pl[idx][0] = 0
+                elif side == 1:
+                    pl[idx][1] = 0
+                elif side == 2:
+                    pl[idx][0] = H - 1
+                else:
+                    pl[idx][1] = W - 1
+            kept.append(pl)
+            border_nodes += [pl[0], pl[-1]]
+    kept.append(border_ring_with_nodes(H, W, np.asarray(border_nodes).reshape(-1, 2)))
+    return faces_from_polylines(kept)
+
+
 def ring_area(ring: np.ndarray) -> float:
     y, x = ring[:, 0], ring[:, 1]
     return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
@@ -321,7 +449,7 @@ class Polygonizer:
         indicator = seg[:, 0]
         B = indicator.shape[0]
         init_level = float(self.cfg.common_params.init_data_level)
-        contours = [extract_contours(indicator[b], init_level) for b in range(B)]
+        contours = [extract_contours_flagged(indicator[b], init_level) for b in range(B)]
 
         out: dict = {}
         for method in self.methods:
@@ -354,7 +482,7 @@ class Polygonizer:
             per_sample = []
             for b, rings in enumerate(contours):
                 simplified = []
-                for ring in rings:
+                for ring, _closed in rings:
                     closed = np.concatenate([ring, ring[:1]])
                     s = douglas_peucker(closed, float(tol))[:-1]
                     simplified.append(s)
@@ -369,7 +497,8 @@ class Polygonizer:
     def _acm(self, contours, indicator, crossfield) -> dict:
         mc = self.cfg.acm_method
         B = indicator.shape[0]
-        pos, vmask, next_idx, batch_idx, n_rings = pack_contours(contours)
+        H, W = indicator.shape[1], indicator.shape[2]
+        pos, vmask, next_idx, batch_idx, pinned, closed_fl, n_rings = pack_contours(contours)
         total = sum(len(c) for c in contours)
         if total > n_rings:
             # silent caps are a lie — surface the drop
@@ -386,6 +515,7 @@ class Polygonizer:
                 jnp.asarray(batch_idx),
                 jnp.asarray(indicator),
                 jnp.asarray(crossfield),
+                jnp.asarray(pinned),
                 steps=int(mc.steps),
                 poly_lr=float(mc.poly_lr),
                 warmup_iters=int(mc.warmup_iters),
@@ -404,19 +534,31 @@ class Polygonizer:
             for p in range(n_rings):
                 b = int(batch_idx[p])
                 ring = pos[p][vmask[p]]
-                if len(ring) < 3:
-                    continue
                 if b not in uv_cache:
                     uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
                 u, v = uv_cache[b]
-                ring = presimplify_ring(ring, float(tol) * 0.5)
-                corners = detect_corners(ring, u, v)
-                simp = simplify_ring_with_corners(ring, corners, float(tol))
-                per_sample[b].append(simp)
-            out[f"tol_{tol}"] = [
-                self._filter_and_convert(
-                    per_sample[b], indicator[b], float(mc.min_area), float(mc.seg_threshold)
+                if closed_fl[p]:
+                    if len(ring) < 3:
+                        continue
+                    ring = presimplify_ring(ring, float(tol) * 0.5)
+                    corners = detect_corners(ring, u, v)
+                    simp = simplify_ring_with_corners(ring, corners, float(tol))
+                    per_sample[b].append(np.concatenate([simp, simp[:1]], axis=0))
+                else:
+                    if len(ring) < 2:
+                        continue
+                    pl = douglas_peucker(ring, float(tol) * 0.5)
+                    corners = detect_corners(pl, u, v, closed=False)
+                    per_sample[b].append(simplify_polyline_with_corners(pl, corners, float(tol)))
+            # image-border union + planar-arrangement faces
+            # (reference polygonize_acm.py:288-306)
+            faced = []
+            for b in range(B):
+                faces = polygonize_with_border(per_sample[b], H, W)
+                faced.append(
+                    self._filter_and_convert(
+                        faces, indicator[b], float(mc.min_area), float(mc.seg_threshold)
+                    )
                 )
-                for b in range(B)
-            ]
+            out[f"tol_{tol}"] = faced
         return out
