@@ -101,6 +101,11 @@ def _bbox_iou(b1, b2) -> float:
 
 
 def _ann_rings(ann) -> list[np.ndarray]:
+    """All polygon rings of an annotation. NOTE: the point metrics below use
+    only ring [0] (the exterior) — this is deliberate reference parity: the
+    reference also builds its metric polygons from `segmentation[0]` alone
+    (eval/polis.py:98-101, eval/polis_chamfer_hausdorff.py:153-156) and counts
+    NR vertices from `segs[0]` (eval/utils.py:29)."""
     return [
         np.asarray(s, np.float64).reshape(-1, 2)
         for s in ann["segmentation"]

@@ -20,5 +20,7 @@ if os.environ.get("JAX_PLATFORMS"):
 from pixelspointspolygons_tpu.config import compose  # noqa: E402
 
 
-def compose_from_argv():
-    return compose(sys.argv[1:])
+def compose_from_argv(defaults: list[str] | None = None):
+    """Compose from CLI overrides; `defaults` are prepended so explicit CLI
+    arguments win."""
+    return compose(list(defaults or []) + sys.argv[1:])
