@@ -32,15 +32,19 @@ def sample_params(rng: np.random.RandomState, augmentations: list[str] | None) -
     if "D4" in augs:
         p["d4"] = D4_ELEMENTS[rng.randint(len(D4_ELEMENTS))]
     if "ColorJitter" in augs:
-        # albumentations ColorJitter defaults: brightness/contrast/saturation
-        # 0.8-1.2 factors, hue ±0.5 ... we apply brightness/contrast only on
-        # normalized-float path (saturation/hue need HSV; modest effect)
+        # albumentations A.ColorJitter() defaults (build_datasets.py:60):
+        # brightness/contrast/saturation factors U[0.8, 1.2], hue U[-0.2, 0.2]
+        # (fraction of the hue circle, torchvision semantics)
         p["jitter"] = {
             "brightness": rng.uniform(0.8, 1.2),
             "contrast": rng.uniform(0.8, 1.2),
+            "saturation": rng.uniform(0.8, 1.2),
+            "hue": rng.uniform(-0.2, 0.2),
         }
     if "GaussNoise" in augs:
-        p["noise_sigma"] = rng.uniform(0.03, 0.09)  # on [0,1]-scaled pixels
+        # A.GaussNoise() default var_limit=(10, 50) on 0-255 pixels
+        # → sigma ∈ [sqrt(10), sqrt(50)]/255 on the unit scale
+        p["noise_sigma"] = rng.uniform(np.sqrt(10.0), np.sqrt(50.0)) / 255.0
     return p
 
 
@@ -152,6 +156,20 @@ def apply_image(
         unit = unit * j["brightness"]
         m = unit.mean()
         unit = (unit - m) * j["contrast"] + m
+        if unit.ndim == 3 and unit.shape[-1] == 3:
+            sat = j.get("saturation", 1.0)
+            if sat != 1.0:
+                gray = (
+                    0.299 * unit[..., 0] + 0.587 * unit[..., 1] + 0.114 * unit[..., 2]
+                )[..., None]
+                unit = gray + sat * (unit - gray)
+            hue = j.get("hue", 0.0)
+            if hue:
+                import cv2
+
+                hsv = cv2.cvtColor(np.clip(unit, 0, 1), cv2.COLOR_RGB2HSV)
+                hsv[..., 0] = (hsv[..., 0] + hue * 360.0) % 360.0
+                unit = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
     if params.get("noise_sigma") and rng is not None:
         unit = unit + rng.normal(0, params["noise_sigma"], unit.shape).astype(np.float32)
     unit = np.clip(unit, 0.0, 1.0)

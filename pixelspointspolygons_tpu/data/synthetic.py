@@ -28,12 +28,76 @@ def _rot(pts: np.ndarray, angle: float, center: np.ndarray) -> np.ndarray:
     return (pts - center) @ R.T + center
 
 
-def random_building(rng: np.random.RandomState, size: int) -> np.ndarray:
-    """One building polygon (V, 2) float (x, y), open ring, CCW-ish."""
+def clip_to_box(poly: np.ndarray, xmax: float, ymax: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of a polygon to [0, xmax] x [0, ymax] —
+    exact geometric clipping so border-crossing buildings get valid GT rings
+    (vertex np.clip would distort rotated shapes)."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+                if not ib:
+                    out.append(intersect(a, b))
+            elif ib:
+                out.append(intersect(a, b))
+        return np.asarray(out) if out else np.zeros((0, 2))
+
+    def x_cut(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return np.array([x, a[1] + t * (b[1] - a[1])])
+
+    def y_cut(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), y])
+
+    for inside, cut in (
+        (lambda p: p[0] >= 0, lambda a, b: x_cut(a, b, 0.0)),
+        (lambda p: p[0] <= xmax, lambda a, b: x_cut(a, b, xmax)),
+        (lambda p: p[1] >= 0, lambda a, b: y_cut(a, b, 0.0)),
+        (lambda p: p[1] <= ymax, lambda a, b: y_cut(a, b, ymax)),
+    ):
+        if len(poly) < 3:
+            return np.zeros((0, 2))
+        poly = clip_edge(poly, inside, cut)
+    # drop duplicate consecutive vertices introduced by clipping
+    if len(poly) >= 2:
+        keep = np.linalg.norm(poly - np.roll(poly, 1, axis=0), axis=1) > 1e-6
+        poly = poly[keep]
+    return poly
+
+
+def random_building(
+    rng: np.random.RandomState, size: int, at_border: bool = False
+) -> np.ndarray:
+    """One building polygon (V, 2) float (x, y), open ring, CCW-ish.
+    `at_border`: center near a tile edge so the footprint crosses it (GT is
+    the exact clip against the tile box — stresses the border-ring union in
+    the FFL postprocess; VERDICT round-1 item 8).
+
+    (Interior holes are deliberately NOT generated: the reference unions all
+    segmentation rings into the mask — eval/utils.py:22-31 sums per-ring RLE
+    masks — so multi-ring "hole" GT would rasterize filled anyway.)"""
     w = rng.uniform(0.08, 0.25) * size
     h = rng.uniform(0.08, 0.25) * size
-    cx = rng.uniform(0.15 * size, 0.85 * size)
-    cy = rng.uniform(0.15 * size, 0.85 * size)
+    if at_border:
+        side = rng.randint(4)
+        t = rng.uniform(0.15, 0.85) * size
+        m = rng.uniform(-0.3, 0.2)  # center offset beyond/near the edge
+        if side == 0:
+            cx, cy = t, m * h
+        elif side == 1:
+            cx, cy = t, size - 1 + (-m) * h
+        elif side == 2:
+            cx, cy = m * w, t
+        else:
+            cx, cy = size - 1 + (-m) * w, t
+    else:
+        cx = rng.uniform(0.15 * size, 0.85 * size)
+        cy = rng.uniform(0.15 * size, 0.85 * size)
     base = np.array(
         [
             [cx - w / 2, cy - h / 2],
@@ -57,7 +121,7 @@ def random_building(rng: np.random.RandomState, size: int) -> np.ndarray:
         )
     angle = rng.uniform(0, np.pi / 2) if rng.rand() < 0.5 else 0.0
     poly = _rot(base, angle, np.array([cx, cy]))
-    return np.clip(poly, 0, size - 1)
+    return clip_to_box(poly, size - 1.0, size - 1.0)
 
 
 def _poly_overlaps(poly: np.ndarray, others: list[np.ndarray], size: int) -> bool:
@@ -79,12 +143,31 @@ def generate_tile(rng: np.random.RandomState, size: int = 224, max_points: int =
     for _ in range(n_buildings * 3):
         if len(polygons) >= n_buildings:
             break
-        poly = random_building(rng, size)
-        if abs(poly_area(poly)) < 40:
+        poly = random_building(rng, size, at_border=rng.rand() < 0.25)
+        if len(poly) < 3 or abs(poly_area(poly)) < 40:
             continue
         if not _poly_overlaps(poly, polygons, size):
             polygons.append(poly)
             heights.append(rng.uniform(4.0, 15.0))
+            # row-house pair: an axis-aligned neighbor sharing a wall
+            # (touching buildings stress junction snapping / face splitting)
+            if rng.rand() < 0.3:
+                x1 = poly[:, 0].max()
+                y0, y1 = poly[:, 1].min(), poly[:, 1].max()
+                w2 = rng.uniform(0.06, 0.18) * size
+                h2 = (y1 - y0) * rng.uniform(0.6, 1.0)
+                yc = rng.uniform(y0, y1 - h2) if y1 - y0 > h2 else y0
+                nb = np.array(
+                    [[x1, yc], [x1 + w2, yc], [x1 + w2, yc + h2], [x1, yc + h2]]
+                )
+                nb = clip_to_box(nb, size - 1.0, size - 1.0)
+                if (
+                    len(nb) >= 3
+                    and abs(poly_area(nb)) > 40
+                    and not _poly_overlaps(nb, polygons[:-1], size)
+                ):
+                    polygons.append(nb)
+                    heights.append(rng.uniform(4.0, 15.0))
 
     # ground texture
     img = rng.normal(110, 18, (size, size, 3)).astype(np.float32)

@@ -1,0 +1,205 @@
+"""Full performance table: {pix2poly, hisup, ffl} × {train step/s,
+e2e predict tiles/s, MFU} on the current jax backend, with run-to-run spread.
+
+This is the broadened perf harness VERDICT round 1 asked for (item 2):
+`bench.py` keeps the one-JSON-line driver contract for the headline metric;
+this script measures every model family end to end (forward + autoregressive
+decode / junction polygonization / ACM polygonization) at production size and
+estimates single-chip MFU from the XLA-compiled flop counts
+(`fn.lower(...).compile().cost_analysis()`).
+
+Usage (TPU):  python scripts/bench_all.py
+        CPU:  JAX_PLATFORMS=cpu BENCH_BATCH=2 BENCH_SUBSET=4 python scripts/bench_all.py
+Writes BENCH_TABLE.json at the repo root and prints a markdown table.
+
+The reference's only perf metric is prediction wall-clock per image
+(predict/predictor_pix2poly.py:52-54); train step/s and MFU have no reference
+counterpart but are required TPU-utilization evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from _common import compose_from_argv  # noqa: F401 (sys.path side effect)
+
+import numpy as np
+
+# v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip; override for other chips.
+PEAK_FLOPS = float(os.environ.get("PEAK_TFLOPS", 197)) * 1e12
+
+B = int(os.environ.get("BENCH_BATCH", 16))
+SUBSET = int(os.environ.get("BENCH_SUBSET", 32))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
+
+EXPERIMENTS = {
+    "pix2poly": "p2p_image",
+    "hisup": "hisup_image",
+    "ffl": "ffl_image",
+}
+if os.environ.get("BENCH_MODELS"):
+    sel = set(os.environ["BENCH_MODELS"].split(","))
+    EXPERIMENTS = {k: v for k, v in EXPERIMENTS.items() if k in sel}
+
+
+def _sync(tree) -> None:
+    """Materialize one leaf — the only trustworthy sync on the axon tunnel."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        np.asarray(leaves[0])
+
+
+def timed(fn, repeats=REPEATS, iters=ITERS) -> tuple[float, float]:
+    """Median seconds per call over `repeats` batches of `iters`, + spread %."""
+    fn()  # warmup/compile
+    meds = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        meds.append((time.perf_counter() - t0) / iters)
+    med = statistics.median(meds)
+    spread = 100.0 * (max(meds) - min(meds)) / med if med else 0.0
+    return med, spread
+
+
+def step_flops(jitted, *args) -> float | None:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_family(name: str, experiment: str) -> dict:
+    import jax
+
+    from pixelspointspolygons_tpu.config import compose
+    from pixelspointspolygons_tpu.data.synthetic import ensure_synthetic_dataset
+
+    overrides = [
+        f"experiment={experiment}",
+        "dataset=synthetic",
+        "run_type=debug",
+        f"run_type.batch_size={B}",
+        f"run_type.subset.train={max(SUBSET, B)}",
+        f"run_type.subset.val={max(SUBSET, B)}",
+        "run_type.log_to_wandb=false",
+    ] + [a for a in sys.argv[1:] if "=" in a]
+    cfg = compose(overrides)
+    ensure_synthetic_dataset(cfg)
+
+    if name == "pix2poly":
+        from pixelspointspolygons_tpu.train.trainer_pix2poly import Pix2PolyTrainer
+
+        trainer = Pix2PolyTrainer(cfg)
+    elif name == "hisup":
+        from pixelspointspolygons_tpu.train.trainer_hisup import HiSupTrainer
+
+        trainer = HiSupTrainer(cfg)
+    else:
+        from pixelspointspolygons_tpu.train.trainer_ffl import FFLTrainer
+
+        trainer = FFLTrainer(cfg)
+    trainer.setup()
+
+    from pixelspointspolygons_tpu.parallel.mesh import device_prefetch
+
+    if name == "ffl":
+        from pixelspointspolygons_tpu.train.trainer_ffl import FFL_BATCH_KEYS
+
+        it = ({k: v for k, v in b.items() if k in FFL_BATCH_KEYS} for b in trainer.train_loader)
+    else:
+        it = iter(trainer.train_loader)
+    batch = next(iter(device_prefetch(it, trainer.mesh)))
+
+    # --- train step ---------------------------------------------------------
+    rng = jax.random.PRNGKey(0)
+    if name == "pix2poly":
+        step_args = lambda: (trainer.state, batch, rng)
+    elif name == "hisup":
+        step_args = lambda: (trainer.state, batch)
+    else:
+        weights = trainer._epoch_weights(0)
+        step_args = lambda: (trainer.state, batch, weights)
+
+    flops = step_flops(trainer._train_step, *step_args())
+
+    def one_step():
+        trainer.state, metrics = trainer._train_step(*step_args())
+        _sync(metrics)
+
+    step_t, step_spread = timed(one_step)
+    row = {
+        "train_step_s": step_t,
+        "train_steps_per_s": 1.0 / step_t,
+        "train_tiles_per_s": B / step_t,
+        "train_spread_pct": round(step_spread, 1),
+    }
+    if flops:
+        row["train_step_tflops"] = flops / 1e12
+        row["mfu_pct"] = round(100.0 * flops / step_t / PEAK_FLOPS, 2)
+
+    # --- e2e prediction (forward + full polygonization) ---------------------
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats is not None:
+        variables["batch_stats"] = trainer.state.batch_stats
+
+    def one_predict():
+        out = trainer._predictor.predict_batch(variables, batch)
+        # predict_batch already materializes on host (returns python polygons)
+        return out
+
+    pred_t, pred_spread = timed(one_predict, repeats=REPEATS, iters=max(ITERS // 2, 1))
+    row.update(
+        {
+            "predict_tiles_per_s": B / pred_t,
+            "predict_s_per_image": pred_t / B,
+            "predict_spread_pct": round(pred_spread, 1),
+        }
+    )
+    return row
+
+
+def main() -> None:
+    import jax
+
+    results = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "batch": B,
+        "peak_tflops": PEAK_FLOPS / 1e12,
+    }
+    for name, experiment in EXPERIMENTS.items():
+        print(f"benchmarking {name} ({experiment}) ...", file=sys.stderr)
+        try:
+            results[name] = bench_family(name, experiment)
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"  {name} failed: {e}", file=sys.stderr)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_TABLE.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+    cols = ["train_tiles_per_s", "mfu_pct", "predict_tiles_per_s", "train_spread_pct", "predict_spread_pct"]
+    print(f"\n| model | {' | '.join(cols)} |")
+    print("|" + "---|" * (len(cols) + 1))
+    for name in EXPERIMENTS:
+        r = results.get(name, {})
+        vals = [f"{r[c]:.2f}" if isinstance(r.get(c), float) else str(r.get(c, "—")) for c in cols]
+        print(f"| {name} | {' | '.join(vals)} |")
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,8 @@
 synthetic dataset round-trip through all three model item builders, loader
 padding/sharding, COCO RLE round-trip."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -246,3 +248,86 @@ class TestRunLogger:
         lines = [json.loads(l) for l in open(path)]
         assert lines[0]["_type"] == "config"
         assert lines[1]["loss"] == 1.5 and lines[1]["step"] == 2
+
+
+class TestColorJitterHSV:
+    def test_saturation_zero_is_grayscale(self):
+        import pixelspointspolygons_tpu.data.augment as aug
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(8, 8, 3).astype(np.float32)
+        params = {"d4": "e", "jitter": {"brightness": 1.0, "contrast": 1.0,
+                                        "saturation": 0.0, "hue": 0.0}}
+        out = aug.apply_image(img, params, [0, 0, 0], [1, 1, 1], 1.0)
+        assert np.allclose(out[..., 0], out[..., 1], atol=1e-5)
+        assert np.allclose(out[..., 1], out[..., 2], atol=1e-5)
+
+    def test_hue_full_circle_identity(self):
+        import pixelspointspolygons_tpu.data.augment as aug
+
+        rng = np.random.RandomState(1)
+        img = (rng.rand(8, 8, 3) * 0.8 + 0.1).astype(np.float32)
+        base = {"d4": "e", "jitter": {"brightness": 1.0, "contrast": 1.0,
+                                      "saturation": 1.0, "hue": 0.0}}
+        full = {"d4": "e", "jitter": {"brightness": 1.0, "contrast": 1.0,
+                                      "saturation": 1.0, "hue": 1.0}}
+        a = aug.apply_image(img, base, [0, 0, 0], [1, 1, 1], 1.0)
+        b = aug.apply_image(img, full, [0, 0, 0], [1, 1, 1], 1.0)
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_hue_shift_changes_channels(self):
+        import pixelspointspolygons_tpu.data.augment as aug
+
+        img = np.zeros((4, 4, 3), np.float32)
+        img[..., 0] = 0.8  # pure red
+        params = {"d4": "e", "jitter": {"brightness": 1.0, "contrast": 1.0,
+                                        "saturation": 1.0, "hue": 1 / 3}}
+        out = aug.apply_image(img, params, [0, 0, 0], [1, 1, 1], 1.0)
+        # red shifted by 120° → green
+        assert out[..., 1].mean() > 0.7 and out[..., 0].mean() < 0.1
+
+
+class TestConverters:
+    def test_mask_to_polygons_with_hole(self):
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            "inria_to_coco", "data_preprocess/inria_to_coco.py"
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[10:50, 10:50] = 1
+        mask[25:35, 25:35] = 0  # hole
+        mask[5:20, 55:64] = 1  # building touching the border
+        polys = mod.mask_to_polygons(mask, tol=1.0)
+        assert len(polys) == 2
+        n_rings = sorted(len(p) for p in polys)
+        assert n_rings == [1, 2]  # one simple, one with a hole
+        bboxes = [mod.poly_bbox_area(p)[0] for p in polys]
+        assert any(b[0] + b[2] > 62 for b in bboxes)  # border building kept
+
+    def test_merge_coco_annotations(self, tmp_path):
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            "merge_coco", "data_preprocess/merge_coco_annotations.py"
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        base = {
+            "categories": [{"id": 100, "name": "building"}],
+            "images": [{"id": 0, "file_name": "a.png", "width": 8, "height": 8}],
+            "annotations": [
+                {"id": 0, "image_id": 0, "category_id": 100, "segmentation": [[0, 0, 1, 0, 1, 1]]}
+            ],
+        }
+        f1 = tmp_path / "a.json"
+        f2 = tmp_path / "b.json"
+        f1.write_text(json.dumps(base))
+        f2.write_text(json.dumps(base))
+        merged = mod.merge_coco_annotations([str(f1), str(f2)])
+        assert len(merged["images"]) == 2
+        assert len({i["id"] for i in merged["images"]}) == 2
+        assert len({a["id"] for a in merged["annotations"]}) == 2
+        assert merged["annotations"][1]["image_id"] == merged["images"][1]["id"]
