@@ -37,6 +37,8 @@ class Loader:
         pad_to_batch: bool = True,
         num_workers: int = 0,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,12 +49,29 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
         self.epoch = 0
+        # DistributedSampler semantics (build_datasets.py:95,145,195): each
+        # process iterates a disjoint wrap-padded 1/process_count slice of the
+        # epoch-shuffled order. Defaults come from the jax runtime so
+        # single-process behavior is unchanged.
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __len__(self) -> int:
+    def _num_local(self) -> int:
         n = len(self.dataset)
+        if self.process_count <= 1:
+            return n
+        return (n + self.process_count - 1) // self.process_count
+
+    def __len__(self) -> int:
+        n = self._num_local()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -61,6 +80,12 @@ class Loader:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idxs)
+        if self.process_count > 1:
+            per = self._num_local()
+            total = per * self.process_count
+            if total > len(idxs):  # wrap-pad like DistributedSampler
+                idxs = np.concatenate([idxs, idxs[: total - len(idxs)]])
+            idxs = idxs[self.process_index :: self.process_count]
         return idxs
 
     def _make_batch(self, batch_idxs: np.ndarray) -> dict:

@@ -6,8 +6,6 @@ needs autograd; our ACM is jax.grad inside jit, so no such constraint)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,44 +63,10 @@ class FFLTrainer(Trainer):
         loss_fn_raw, self._weights_for_epoch = make_ffl_loss(cfg)
         model = self.model
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, batch, weights):
-            def loss_fn(params):
-                variables = {"params": params}
-                if state.batch_stats is not None:
-                    variables["batch_stats"] = state.batch_stats
-                outputs, mut = model.apply(
-                    variables,
-                    {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                total, losses = loss_fn_raw(outputs, batch, weights)
-                return total, (mut.get("batch_stats"), losses)
+        from .ffl_step import make_train_step, make_val_step
 
-            (loss, (bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            state = state.apply_gradients(grads=grads)
-            if bs is not None:
-                state = state.replace(batch_stats=bs)
-            return state, {"loss": loss, **losses}
-
-        @jax.jit
-        def val_step(state, batch, weights):
-            variables = {"params": state.params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            outputs = model.apply(
-                variables,
-                {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
-                train=False,
-            )
-            total, losses = loss_fn_raw(outputs, batch, weights)
-            return {"loss": total, **losses}
-
-        self._train_step = train_step
-        self._val_step = val_step
+        self._train_step = make_train_step(model, loss_fn_raw)
+        self._val_step = make_val_step(model, loss_fn_raw)
 
         from ..predict.predictor_ffl import FFLPredictor
         from ..predict.ffl_polygonize import Polygonizer

@@ -4,8 +4,6 @@ val-epoch IoU via the full polygonization path."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +11,6 @@ import numpy as np
 from ..data.loader import build_loader
 from ..eval.metrics import compute_iou_ciou
 from ..models.hisup.factory import build_hisup
-from ..models.hisup.model import encode_targets, hisup_losses
 from ..parallel import all_gather_objects, device_prefetch
 from ..utils.coco import CocoIndex, generate_coco_ann
 from .state import cosine_with_warmup, create_train_state, make_optimizer, num_params
@@ -53,49 +50,10 @@ class HiSupTrainer(Trainer):
         size = int(m.decoder.in_feature_size)
         model = self.model
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, batch):
-            targets = encode_targets(batch, size)
+        from .hisup_step import make_train_step, make_val_step
 
-            def loss_fn(params):
-                variables = {"params": params}
-                if state.batch_stats is not None:
-                    variables["batch_stats"] = state.batch_stats
-                outputs, mut = model.apply(
-                    variables,
-                    {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                losses = hisup_losses(outputs, targets)
-                total = sum(weights[k] * v for k, v in losses.items())
-                return total, (mut.get("batch_stats"), losses)
-
-            (loss, (bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            state = state.apply_gradients(grads=grads)
-            if bs is not None:
-                state = state.replace(batch_stats=bs)
-            return state, {"loss": loss, **losses}
-
-        @jax.jit
-        def val_step(state, batch):
-            targets = encode_targets(batch, size)
-            variables = {"params": state.params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            outputs = model.apply(
-                variables,
-                {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch},
-                train=False,
-            )
-            losses = hisup_losses(outputs, targets)
-            total = sum(weights[k] * v for k, v in losses.items())
-            return {"loss": total, **losses}
-
-        self._train_step = train_step
-        self._val_step = val_step
+        self._train_step = make_train_step(model, weights, size)
+        self._val_step = make_val_step(model, weights, size)
 
         from ..predict.predictor_hisup import HiSupPredictor
 

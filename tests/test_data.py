@@ -331,3 +331,41 @@ class TestConverters:
         assert len({i["id"] for i in merged["images"]}) == 2
         assert len({a["id"] for a in merged["annotations"]}) == 2
         assert merged["annotations"][1]["image_id"] == merged["images"][1]["id"]
+
+
+class TestLoaderProcessSharding:
+    def _dataset(self, n=10):
+        class FakeDS:
+            def __len__(self):
+                return n
+
+            def get_item(self, i, rng):
+                return {"x": np.float32(i), "image_id": np.int64(i)}
+
+        return FakeDS()
+
+    def test_disjoint_cover(self):
+        from pixelspointspolygons_tpu.data.loader import Loader
+
+        seen = []
+        for rank in range(3):
+            loader = Loader(
+                self._dataset(10), batch_size=2, shuffle=True, seed=7,
+                process_index=rank, process_count=3,
+            )
+            loader.set_epoch(1)
+            ids = [int(v) for b in loader for v in b["image_id"][b["sample_valid"]]]
+            seen.append(ids)
+        lens = [len(s) for s in seen]
+        assert len(set(lens)) == 1  # equal per-process counts (wrap-padded)
+        flat = [i for s in seen for i in s]
+        assert set(flat) == set(range(10))  # full cover
+        # disjoint except the wrap-pad duplicates (12 slots for 10 items)
+        assert len(flat) == 12
+
+    def test_single_process_unchanged(self):
+        from pixelspointspolygons_tpu.data.loader import Loader
+
+        loader = Loader(self._dataset(5), batch_size=2, process_index=0, process_count=1)
+        ids = [int(v) for b in loader for v in b["image_id"][b["sample_valid"]]]
+        assert ids == [0, 1, 2, 3, 4]

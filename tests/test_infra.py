@@ -98,3 +98,33 @@ class TestMultiDevice:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+def test_all_gather_objects_multiprocess_path(monkeypatch):
+    """Exercise the multi-process serialize→pad→allgather→deserialize path by
+    faking process_allgather for 2 ranks with different payload sizes (real
+    multi-host runs: jax.distributed.initialize + one python proc per host)."""
+    import pickle
+
+    import jax.experimental.multihost_utils as mu
+    import numpy as np
+
+    import pixelspointspolygons_tpu.parallel.mesh as M
+
+    objs = [
+        {"rank": 0, "annotations": [{"id": 1, "segmentation": [[0, 0, 1, 0, 1, 1]]}]},
+        {"rank": 1, "annotations": []},
+    ]
+    payloads = [np.frombuffer(pickle.dumps(o), np.uint8) for o in objs]
+    max_n = max(p.size for p in payloads)
+
+    def fake_allgather(x):
+        if x.dtype == np.int64:
+            return np.stack([np.asarray([p.size], np.int64) for p in payloads])
+        rows = [np.concatenate([p, np.zeros(max_n - p.size, np.uint8)]) for p in payloads]
+        return np.stack(rows)
+
+    monkeypatch.setattr(M.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(mu, "process_allgather", fake_allgather)
+    out = M.all_gather_objects(objs[0])
+    assert out == objs
