@@ -30,27 +30,33 @@ AREA_RNG = {
 MAX_DETS = (1, 10, 100)
 
 
-def _mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
-    """dt (D, H*W) bool, gt (G, H*W) bool → (D, G) IoU."""
+def _mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray, iscrowd=None) -> np.ndarray:
+    """dt (D, H*W) bool, gt (G, H*W) bool → (D, G) IoU. For crowd gts the
+    denominator is the dt area alone (pycocotools maskUtils.iou iscrowd
+    semantics: a dt fully inside a crowd region scores IoU 1)."""
     if dt_masks.shape[0] == 0 or gt_masks.shape[0] == 0:
         return np.zeros((dt_masks.shape[0], gt_masks.shape[0]))
     inter = (dt_masks.astype(np.float32) @ gt_masks.T.astype(np.float32))
     a_dt = dt_masks.sum(1)[:, None].astype(np.float32)
     a_gt = gt_masks.sum(1)[None, :].astype(np.float32)
     union = a_dt + a_gt - inter
+    if iscrowd is not None and np.any(iscrowd):
+        union = np.where(np.asarray(iscrowd, bool)[None, :], a_dt, union)
     return inter / np.maximum(union, 1e-9)
 
 
 def _evaluate_img(dts, gts, ious, area_rng, max_dets):
     """pycocotools evaluateImg logic for one (image, areaRng, maxDets)."""
     T = len(IOU_THRS)
-    gt_ignore = np.array(
+    crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], bool)
+    gt_ignore = crowd | np.array(
         [not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts], bool
     )
     # sort gts: non-ignored first
     g_order = np.argsort(gt_ignore, kind="stable")
     gts = [gts[i] for i in g_order]
     gt_ignore = gt_ignore[g_order]
+    crowd = crowd[g_order]
     dts = dts[:max_dets]
     G, D = len(gts), len(dts)
     ious = ious[:D][:, g_order] if D and G else np.zeros((D, G))
@@ -63,7 +69,8 @@ def _evaluate_img(dts, gts, ious, area_rng, max_dets):
             best_iou = min(thr, 1 - 1e-10)
             best_g = -1
             for g in range(G):
-                if gt_matches[t, g] and not gt_ignore[g]:
+                # crowd gts may be matched by multiple dts (COCOeval :criteria)
+                if gt_matches[t, g] and not crowd[g]:
                     continue
                 # stop at ignored gts if a real match was already found
                 if best_g > -1 and not gt_ignore[best_g] and gt_ignore[g]:
@@ -112,7 +119,8 @@ class COCOEval:
             dm = np.stack(
                 [seg_to_mask(d["segmentation"], h, w).reshape(-1) for d in dts]
             ) if dts else np.zeros((0, h * w), np.uint8)
-            ious = _mask_iou(dm.astype(bool), gm.astype(bool))
+            iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
+            ious = _mask_iou(dm.astype(bool), gm.astype(bool), iscrowd)
             per_img[img_id] = (dts, gts, ious)
 
         stats = {}

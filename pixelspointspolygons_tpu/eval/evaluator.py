@@ -68,10 +68,16 @@ class Evaluator:
 
                 results.update(compute_junction_metrics(self.coco_gt, self.coco_dt))
             elif mode == "ldof":
-                if not self.cfg.host.get("ldof_exe"):
-                    self.logger.warning("ldof_exe not configured — skipping DoF metric")
+                exe = self.cfg.host.get("ldof_exe")
+                if not exe or not os.path.isfile(str(exe)):
+                    self.logger.warning(
+                        "ldof_exe not configured/found — skipping DoF metric "
+                        "(same as reference without the binary, evaluator.py:240-246)"
+                    )
                 else:
-                    self.logger.warning("external ldof binary integration pending")
+                    from .line_dof import compute_line_dof
+
+                    results.update(compute_line_dof(str(exe), self.coco_gt, self.coco_dt))
             elif mode == "stats":
                 results["num_gt_anns"] = len(self.coco_gt.anns)
                 results["num_dt_anns"] = len(self.coco_dt.anns)

@@ -89,8 +89,9 @@ def seg_to_mask(segmentation, height: int, width: int) -> np.ndarray:
     return mask
 
 
-def rle_encode(mask: np.ndarray) -> dict:
-    """Column-major uncompressed RLE (pycocotools layout)."""
+def rle_encode(mask: np.ndarray, compressed: bool = False) -> dict:
+    """Column-major RLE (pycocotools layout); compressed=True emits the
+    pycocotools 6-bit string encoding."""
     h, w = mask.shape
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     # counts alternate 0-runs and 1-runs, starting with a 0-run
@@ -99,14 +100,58 @@ def rle_encode(mask: np.ndarray) -> dict:
     counts = runs.tolist()
     if flat.size and flat[0] == 1:
         counts = [0] + counts
+    if compressed:
+        return {"size": [h, w], "counts": rle_string_encode(counts)}
     return {"size": [h, w], "counts": counts}
+
+
+def rle_string_encode(counts: list[int]) -> str:
+    """pycocotools rleToString: delta-coded counts (from the 3rd element) in
+    6-bit ascii chunks (base char 48, 0x20 continuation, sign-extended)."""
+    out = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def rle_string_decode(s: str | bytes) -> list[int]:
+    """pycocotools rleFrString inverse of rle_string_encode."""
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: list[int] = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
 
 
 def rle_decode(rle: dict) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
-        raise NotImplementedError("compressed RLE strings are not supported")
+        counts = rle_string_decode(counts)  # compressed RLE (pycocotools _mask.pyx)
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0

@@ -2,6 +2,8 @@
 IoU/C-IoU conventions (empty-empty = 1), POLIS/Chamfer/Hausdorff on exact
 geometric fixtures, MTA on aligned vs rotated polygons."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -139,3 +141,93 @@ class TestMTA:
         dt = gt.load_res(generate_coco_ann([rot], 1))
         r = compute_mta(gt, dt)
         assert 5.0 < r["mta"] < 46.0
+
+
+class TestRLEAndCrowd:
+    def test_compressed_rle_roundtrip(self):
+        from pixelspointspolygons_tpu.utils.coco import rle_decode, rle_encode
+
+        rng = np.random.RandomState(3)
+        mask = (rng.rand(37, 23) > 0.7).astype(np.uint8)
+        rle = rle_encode(mask, compressed=True)
+        assert isinstance(rle["counts"], str)
+        np.testing.assert_array_equal(rle_decode(rle), mask)
+
+    def test_rle_string_delta_signs(self):
+        """Delta coding goes negative when counts shrink — sign extension."""
+        from pixelspointspolygons_tpu.utils.coco import (
+            rle_string_decode,
+            rle_string_encode,
+        )
+
+        for counts in ([0, 1000, 3, 2, 900, 1], [5], [0, 2**20, 7, 2, 1, 2**18]):
+            assert rle_string_decode(rle_string_encode(counts)) == counts
+
+    def test_crowd_region_not_fp(self):
+        """A dt inside a crowd GT region is ignored (not an FP), and the crowd
+        GT itself doesn't count toward recall (pycocotools semantics)."""
+        from pixelspointspolygons_tpu.eval.cocoeval import COCOEval
+
+        sq = [10, 10, 30, 10, 30, 30, 10, 30]
+        crowd_zone = [40, 40, 62, 40, 62, 62, 40, 62]
+        inside_crowd = [45, 45, 55, 45, 55, 55, 45, 55]
+        gt = CocoIndex(
+            {
+                "images": [{"id": 1, "height": 64, "width": 64}],
+                "categories": [{"id": 100, "name": "building"}],
+                "annotations": [
+                    {"id": 1, "image_id": 1, "category_id": 100,
+                     "segmentation": [sq], "area": 400.0, "iscrowd": 0,
+                     "bbox": [10, 10, 20, 20]},
+                    {"id": 2, "image_id": 1, "category_id": 100,
+                     "segmentation": [crowd_zone], "area": 484.0, "iscrowd": 1,
+                     "bbox": [40, 40, 22, 22]},
+                ],
+            }
+        )
+        preds = [
+            {"image_id": 1, "category_id": 100, "segmentation": [sq], "score": 0.9},
+            {"image_id": 1, "category_id": 100, "segmentation": [inside_crowd], "score": 0.8},
+        ]
+        res = COCOEval(gt, gt.load_res(preds)).run()
+        assert res["AP"] == 1.0 and res["AP50"] == 1.0
+        # without crowd flag the second dt WOULD be an FP
+        gt2 = CocoIndex(json.loads(json.dumps(gt.dataset)))
+        gt2.dataset["annotations"][1]["iscrowd"] = 0
+        gt2 = CocoIndex(gt2.dataset)
+        res2 = COCOEval(gt2, gt2.load_res(preds)).run()
+        assert res2["AP"] < 1.0
+
+
+def test_ldof_shellout(tmp_path):
+    """Drive the ldof plumbing end-to-end against a stub executable that
+    emits the reference binary's output format (line_dof.py:81-96)."""
+    import stat
+
+    from pixelspointspolygons_tpu.eval.line_dof import compute_line_dof
+
+    stub = tmp_path / "ldof"
+    stub.write_text(
+        "#!/bin/sh\n"
+        'n=$(wc -l < "$2")\n'
+        'echo "Number of degree of freedom is : $n"\n'
+        'echo "Number segments is : $n"\n'
+        'echo "Metric for DoF : 50.0"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    sq = [0, 0, 10, 0, 10, 10, 0, 10]
+    gt = CocoIndex(
+        {
+            "images": [{"id": 1, "height": 16, "width": 16}],
+            "categories": [{"id": 100, "name": "building"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 100,
+                 "segmentation": [sq], "area": 100.0, "bbox": [0, 0, 10, 10]}
+            ],
+        }
+    )
+    dt = gt.load_res([{"image_id": 1, "category_id": 100, "segmentation": [sq], "score": 1.0}])
+    res = compute_line_dof(str(stub), gt, dt)
+    assert res["line_segs"] == 3.0  # 4-pt open ring → 3 segments
+    assert res["norm_line_dofs"] == 0.5
