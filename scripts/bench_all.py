@@ -188,6 +188,14 @@ def main() -> None:
             print(f"  {name} failed: {e}", file=sys.stderr)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_TABLE.json")
+    if os.path.isfile(out):  # merge so per-family runs accumulate one table
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            if prev.get("backend") == results["backend"] and prev.get("batch") == results["batch"]:
+                results = {**prev, **results}
+        except Exception:
+            pass
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
 
