@@ -93,23 +93,29 @@ def simple_polygon(poly: np.ndarray, thres: float = 10.0) -> np.ndarray:
     return np.concatenate([out, out[:1]], axis=0)
 
 
-def snap_to_junctions(poly: np.ndarray, junctions: np.ndarray) -> np.ndarray:
-    """Replace a traced boundary with the ordered nearby-junction cycle."""
+def snap_to_junctions(
+    poly: np.ndarray, junctions: np.ndarray, radius: float = 5.0
+) -> tuple[np.ndarray, bool]:
+    """Replace a traced boundary with the ordered nearby-junction cycle.
+    Returns (ring, snapped)."""
     if len(junctions) == 0 or len(poly) == 0:
-        return poly
+        return poly, False
     d = cdist(poly, junctions)
     match = d.argmin(1)
     dist = d[np.arange(len(match)), match]
-    close = match[dist < 5]
+    close = match[dist < radius]
     u, ind = np.unique(close, return_index=True)
     if len(u) > 2:
         pp = junctions[u[np.argsort(ind)]]
-        return np.concatenate([pp, pp[:1]], axis=0)
-    return poly
+        return np.concatenate([pp, pp[:1]], axis=0), True
+    return poly, False
 
 
 def polygons_from_masks(
-    remask: np.ndarray, junctions: np.ndarray, min_hole_area: float = 50.0
+    remask: np.ndarray,
+    junctions: np.ndarray,
+    min_hole_area: float = 50.0,
+    dp_tol: float = 1.0,
 ) -> tuple[list[np.ndarray], list[float]]:
     """remask: (H, W) prob map; junctions: (J, 2) xy. Returns (rings, scores);
     rings are open (x, y) polygons, exterior rings only in ring list, holes
@@ -140,7 +146,13 @@ def polygons_from_masks(
                 ring = inn_contour_to_poly(contour, H, W)
             if len(ring) <= 3:
                 continue
-            ring = snap_to_junctions(ring.astype(np.float64), junctions)
+            ring, snapped = snap_to_junctions(ring.astype(np.float64), junctions)
+            if not snapped and dp_tol > 0:
+                # unsnapped boundaries are 1-px lattice staircases where every
+                # vertex is a 90-degree turn simple_polygon keeps — DP first
+                from .ffl_polygonize import douglas_peucker
+
+                ring = douglas_peucker(ring, dp_tol)
             ring = simple_polygon(ring, thres=10)
             if len(ring) > 3:
                 comp_rings.append(ring[:-1])  # open ring

@@ -27,6 +27,11 @@ class HiSupPredictor(Predictor):
         self.model = build_hisup(cfg)
         self.mesh = make_mesh()
         self.in_size = int(cfg.experiment.encoder.in_size)
+        ev = cfg.experiment.model.get("eval") or {}
+        self.junc_threshold = float(ev.get("junc_threshold", 0.008) if hasattr(ev, "get") else 0.008)
+        self.junc_topk = int(ev.get("junc_topk", 300) if hasattr(ev, "get") else 300)
+        self.dp_tolerance = float(ev.get("dp_tolerance", 1.0) if hasattr(ev, "get") else 1.0)
+        topk, th = self.junc_topk, self.junc_threshold
 
         @jax.jit
         def forward(variables, batch):
@@ -34,7 +39,7 @@ class HiSupPredictor(Predictor):
             jloc_sm = jax.nn.softmax(out["jloc"], axis=1)
             joff = jax.nn.sigmoid(out["joff"]) - 0.5
             remask = jax.nn.softmax(out["remask"], axis=1)[:, 1]
-            juncs, scores = extract_junctions(jloc_sm, joff)
+            juncs, scores = extract_junctions(jloc_sm, joff, topk=topk, th=th)
             return remask, juncs, scores
 
         self._forward = forward
@@ -59,7 +64,9 @@ class HiSupPredictor(Predictor):
         for b in range(remask.shape[0]):
             mask = cv2.resize(remask[b], (self.in_size, self.in_size))
             jb = juncs[b][scores[b] > 0] * scale
-            polys, pscores = polygons_from_masks(mask, jb)
+            polys, pscores = polygons_from_masks(
+                mask, jb, dp_tol=getattr(self, "dp_tolerance", 1.0)
+            )
             all_polys.append(polys)
             all_scores.append(pscores)
         return all_polys, all_scores
