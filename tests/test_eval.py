@@ -231,3 +231,42 @@ def test_ldof_shellout(tmp_path):
     res = compute_line_dof(str(stub), gt, dt)
     assert res["line_segs"] == 3.0  # 4-pt open ring → 3 segments
     assert res["norm_line_dofs"] == 0.5
+
+
+def test_cocoeval_interpolated_ap_golden():
+    """Hand-derived golden for the 101-pt interpolated AP protocol
+    (pycocotools accumulate semantics): dts sorted by score give
+    precision [1, 1/2, 1/3] at recall [1/2, 1/2, 1/2] → envelope puts
+    precision 1 on the 51 recall grid points ≤ 0.5 → AP = 51/101."""
+    from pixelspointspolygons_tpu.eval.cocoeval import COCOEval
+
+    sq = [0, 0, 10, 0, 10, 10, 0, 10]
+    far = [20, 20, 24, 20, 24, 24, 20, 24]
+    shifted = [0, 7, 10, 7, 10, 17, 0, 17]  # IoU vs sq = 30/170 < 0.5
+    gt = CocoIndex(
+        {
+            "images": [
+                {"id": 1, "height": 32, "width": 32},
+                {"id": 2, "height": 32, "width": 32},
+            ],
+            "categories": [{"id": 100, "name": "building"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 100, "segmentation": [sq],
+                 "area": 100.0, "bbox": [0, 0, 10, 10], "iscrowd": 0},
+                {"id": 2, "image_id": 2, "category_id": 100, "segmentation": [sq],
+                 "area": 100.0, "bbox": [0, 0, 10, 10], "iscrowd": 0},
+            ],
+        }
+    )
+    dt = gt.load_res(
+        [
+            {"image_id": 1, "category_id": 100, "segmentation": [sq], "score": 0.9},
+            {"image_id": 1, "category_id": 100, "segmentation": [far], "score": 0.8},
+            {"image_id": 2, "category_id": 100, "segmentation": [shifted], "score": 0.5},
+        ]
+    )
+    res = COCOEval(gt, dt).run()
+    want = 51 / 101
+    assert abs(res["AP"] - want) < 1e-9, res["AP"]
+    assert abs(res["AP50"] - want) < 1e-9
+    assert abs(res["AR100"] - 0.5) < 1e-9
