@@ -64,10 +64,16 @@ def main() -> None:
 
     run_once()  # warmup + compile
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
-    dt = (time.perf_counter() - t0) / iters
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    per_batch = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run_once()
+        per_batch.append((time.perf_counter() - t0) / iters)
+    per_batch.sort()
+    dt = per_batch[len(per_batch) // 2]  # median over repeats
+    spread_pct = 100.0 * (per_batch[-1] - per_batch[0]) / dt
     tiles_per_sec = B / dt
 
     # --- reference-algorithm baseline: full re-forward per generated token ---
@@ -101,6 +107,7 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/sec",
                 "vs_baseline": round(tiles_per_sec / baseline_tiles_per_sec, 2),
+                "spread_pct": round(spread_pct, 1),
             }
         )
     )

@@ -24,7 +24,9 @@ from .predictor import Predictor
 class FFLPredictor(Predictor):
     def __init__(self, cfg):
         super().__init__(cfg)
-        self.model = build_ffl(cfg)
+        from ..train.state import compute_dtype
+
+        self.model = build_ffl(cfg, dtype=compute_dtype(cfg))
         self.mesh = make_mesh()
         self.polygonizer = Polygonizer(
             cfg.experiment.polygonization,

@@ -24,7 +24,9 @@ from .predictor import Predictor
 class HiSupPredictor(Predictor):
     def __init__(self, cfg):
         super().__init__(cfg)
-        self.model = build_hisup(cfg)
+        from ..train.state import compute_dtype
+
+        self.model = build_hisup(cfg, dtype=compute_dtype(cfg))
         self.mesh = make_mesh()
         self.in_size = int(cfg.experiment.encoder.in_size)
         ev = cfg.experiment.model.get("eval") or {}

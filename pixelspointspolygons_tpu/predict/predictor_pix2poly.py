@@ -91,7 +91,9 @@ class Pix2PolyPredictor(Predictor):
     def __init__(self, cfg):
         super().__init__(cfg)
         self.tokenizer = Tokenizer(cfg)
-        self.model = build_pix2poly(cfg, self.tokenizer)
+        from ..train.state import compute_dtype
+
+        self.model = build_pix2poly(cfg, self.tokenizer, dtype=compute_dtype(cfg))
         self.mesh = make_mesh()
         self._gen = jax.jit(
             lambda v, b: greedy_generate(
