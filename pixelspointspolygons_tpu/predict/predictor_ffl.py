@@ -52,7 +52,32 @@ class FFLPredictor(Predictor):
         out = self._forward(variables, inputs)
         seg = np.asarray(out["seg"], np.float32)
         crossfield = np.asarray(out["crossfield"], np.float32)
+        self._maybe_save_raw(batch, seg, crossfield)
         return self.polygonizer(seg, crossfield)
+
+    def _maybe_save_raw(self, batch: dict, seg: np.ndarray, crossfield: np.ndarray) -> None:
+        """Optional per-tile raw dumps (reference save_utils.save_crossfield
+        :238-244, save_raw_pred :257-260), gated by model.eval flags."""
+        ev = self.cfg.experiment.model.eval
+        save_cf = bool(ev.get("save_crossfield", False))
+        save_raw = bool(ev.get("save_raw", False))
+        if not (save_cf or save_raw) or "image_id" not in batch:
+            return
+        raw_dir = os.path.join(os.path.dirname(self.cfg.evaluation.pred_file), "raw")
+        os.makedirs(raw_dir, exist_ok=True)
+        valid = np.asarray(batch.get("sample_valid", np.ones(len(seg), bool)))
+        for b in range(len(seg)):
+            if not valid[b]:
+                continue
+            img_id = int(batch["image_id"][b])
+            if save_cf:
+                np.save(os.path.join(raw_dir, f"{img_id}.crossfield.npy"), crossfield[b])
+            if save_raw:
+                np.savez_compressed(
+                    os.path.join(raw_dir, f"{img_id}.raw_pred.npz"),
+                    seg=seg[b],
+                    crossfield=crossfield[b],
+                )
 
     def predict_dataset(self, split: str | None = None) -> str:
         split = split or self.cfg.evaluation.split
