@@ -102,8 +102,14 @@ def skeleton_to_paths(skel: np.ndarray):
     for i, (y, x) in enumerate(coords):
         for dy, dx in _NB8:
             j = index.get((y + dy, x + dx))
-            if j is not None:
-                nbrs[i].append(j)
+            if j is None:
+                continue
+            # triangle reduction: drop a diagonal adjacency when a shared
+            # 4-neighbor bridges the two pixels — thinning leaves thick
+            # corners whose spurious diagonals otherwise read as junctions
+            if dy and dx and ((y, x + dx) in index or (y + dy, x) in index):
+                continue
+            nbrs[i].append(j)
     deg = np.array([len(n) for n in nbrs]) if coords else np.zeros((0,), int)
 
     is_junc = deg >= 3
@@ -195,14 +201,20 @@ def skeleton_to_paths(skel: np.ndarray):
     return nodes_arr, paths
 
 
-def edge_probability_map(seg: np.ndarray, has_edge_channel: bool) -> np.ndarray:
-    """(Cs, H, W) seg → edge prob map (get_skeleton spec: grad norm of the
-    interior channel, plus the edge channel when the model predicts one)."""
-    interior = seg[0]
+def edge_probability_map(
+    seg: np.ndarray, has_edge_channel: bool, data_level: float = 0.5
+) -> np.ndarray:
+    """(Cs, H, W) seg → edge prob map.
+
+    Reference semantics (compute_skeletons, polygonize_asm.py:659-667):
+    BINARIZE the interior channel at data_level FIRST, then take the Scharr
+    gradient norm of the binary mask (scaled so a clean step edge reaches 1)
+    — taking gradients of the soft prob map instead gives a weak (~0.6 max),
+    fragmented edge band whose skeleton breaks into tiny paths."""
+    interior = (seg[0] > data_level).astype(np.float32)
     gx = cv2.Scharr(interior, cv2.CV_32F, 1, 0) / 16.0
     gy = cv2.Scharr(interior, cv2.CV_32F, 0, 1) / 16.0
-    grad_norm = np.sqrt(gx**2 + gy**2)
-    em = grad_norm
+    em = 2.0 * np.sqrt(gx**2 + gy**2)  # kornia-normalized-grad x2 (:662)
     if has_edge_channel and seg.shape[0] > 1:
         em = em + seg[1]
     return np.clip(em, 0.0, 1.0)
@@ -409,8 +421,18 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
     per_sample = []
     for b in range(B):
         if init_method == "skeleton":
-            em = edge_probability_map(seg[b], has_edge_channel=seg.shape[1] > 1)
-            skel = zhang_suen_skeletonize(em > float(mc.data_level))
+            em = edge_probability_map(
+                seg[b], has_edge_channel=seg.shape[1] > 1,
+                data_level=float(mc.data_level),
+            )
+            mask = (em > float(mc.data_level)).astype(np.uint8)
+            # pad (edge mode) + binary closing before thinning so border
+            # pixels survive and 1-px gaps close (get_skeleton :521-525)
+            pad = 2
+            mask = np.pad(mask, pad, mode="edge")
+            kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3))
+            mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, kernel)
+            skel = zhang_suen_skeletonize(mask.astype(bool))[pad:-pad, pad:-pad]
             nodes, paths = skeleton_to_paths(skel)
         else:  # marching-squares fallback (:581-640)
             from .ffl_polygonize import extract_contours
@@ -482,7 +504,12 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
                 else:
                     simp = douglas_peucker(pts, float(tol))
                 polylines.append(simp)
-            faces = faces_from_polylines(polylines)
+            # border-ring union so border-crossing buildings close
+            # (reference shapely_postprocess, polygonize_acm.py:288-306 —
+            # shared with the ACM path)
+            from .ffl_polygonize import polygonize_with_border
+
+            faces = polygonize_with_border(polylines, seg.shape[2], seg.shape[3])
             kept = []
             for ring in faces:
                 if ring_area(ring) < float(mc.min_area):

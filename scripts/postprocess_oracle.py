@@ -44,14 +44,16 @@ def _score(gt_sub, preds):
     return {k: round(v, 4) for k, v in compute_iou_ciou(gt_sub, gt_sub.load_res(preds)).items()}
 
 
-def oracle_ffl(cfg, gt, img_ids) -> dict:
+def oracle_ffl(cfg, gt, img_ids, n_ch: int = 1) -> dict:
     import pixelspointspolygons_tpu.predict.ffl_polygonize as fp
     from pixelspointspolygons_tpu.data.ffl_gt import compute_ffl_gt
     from pixelspointspolygons_tpu.utils.coco import generate_coco_ann
 
     S = int(cfg.experiment.encoder.in_size)
     B = len(img_ids)
-    seg = np.zeros((B, 1, S, S), np.float32)
+    # n_ch=1 matches the production config (model.seg.compute_edge: false);
+    # pass channels=2 to exercise ASM's edge-channel path
+    seg = np.zeros((B, n_ch, S, S), np.float32)
     cf = np.zeros((B, 4, S, S), np.float32)
     for i, img_id in enumerate(img_ids):
         polys = [
@@ -61,6 +63,9 @@ def oracle_ffl(cfg, gt, img_ids) -> dict:
         g = compute_ffl_gt(polys, S, S)
         interior = g["gt_polygons_image"][..., 0].astype(np.float32) / 255.0
         seg[i, 0] = cv2.GaussianBlur(interior, (5, 5), 1.2)
+        if n_ch > 1:
+            edge = g["gt_polygons_image"][..., 1].astype(np.float32) / 255.0
+            seg[i, 1] = cv2.GaussianBlur(edge, (5, 5), 1.2)
         angle = g["gt_crossfield_angle"].astype(np.float32) * np.pi / 255.0
         u = np.exp(1j * angle)
         v = 1j * u
@@ -106,6 +111,7 @@ def main() -> None:
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     which = kv.pop("model", "all")
     n = int(kv.pop("n", "12"))
+    n_ch = int(kv.pop("channels", "1"))
     sys.argv = [sys.argv[0]] + [f"{k}={v}" for k, v in kv.items()]
     from pixelspointspolygons_tpu.config import compose
     from pixelspointspolygons_tpu.data.synthetic import ensure_synthetic_dataset
@@ -121,7 +127,7 @@ def main() -> None:
 
     report: dict = {}
     if which in ("ffl", "all"):
-        report.update(oracle_ffl(cfg, gt, img_ids))
+        report.update(oracle_ffl(cfg, gt, img_ids, n_ch=n_ch))
     if which in ("hisup", "all"):
         report.update(oracle_hisup(cfg, gt, img_ids))
     print(json.dumps(report, indent=1))
