@@ -45,6 +45,22 @@ def _mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray, iscrowd=None) -> np.nd
     return inter / np.maximum(union, 1e-9)
 
 
+def mask_to_boundary(mask: np.ndarray, dilation_ratio: float = 0.02) -> np.ndarray:
+    """Boundary region of a binary mask: mask minus its erosion by
+    `round(dilation_ratio · image_diagonal)` 3×3-erosion iterations, with 1px
+    zero padding so mask truncated at the image border counts as boundary.
+    This is the boundary-iou-api `mask_to_boundary` protocol the reference's
+    `boundary-coco` mode relies on (reference eval/evaluator.py:121-141)."""
+    import cv2
+
+    h, w = mask.shape
+    dilation = max(int(round(dilation_ratio * np.sqrt(h**2 + w**2))), 1)
+    padded = np.pad(mask.astype(np.uint8), 1)
+    kernel = np.ones((3, 3), np.uint8)
+    eroded = cv2.erode(padded, kernel, iterations=dilation)[1 : h + 1, 1 : w + 1]
+    return mask.astype(np.uint8) - eroded
+
+
 def _evaluate_img(dts, gts, ious, area_rng, max_dets):
     """pycocotools evaluateImg logic for one (image, areaRng, maxDets)."""
     T = len(IOU_THRS)
@@ -97,10 +113,23 @@ def _evaluate_img(dts, gts, ious, area_rng, max_dets):
 
 
 class COCOEval:
-    def __init__(self, coco_gt: CocoIndex, coco_dt: CocoIndex, cat_id: int = 100):
+    def __init__(
+        self,
+        coco_gt: CocoIndex,
+        coco_dt: CocoIndex,
+        cat_id: int = 100,
+        iou_type: str = "segm",
+        dilation_ratio: float = 0.02,
+    ):
+        """iou_type 'segm' (default) or 'boundary'. Boundary mode scores pairs
+        by min(mask IoU, boundary IoU) — the Boundary AP protocol of the
+        boundary-iou-api used by the reference's `boundary-coco` eval mode
+        (reference eval/evaluator.py:121-141,259); stats keys get a 'b' prefix."""
         self.gt = coco_gt
         self.dt = coco_dt
         self.cat_id = cat_id
+        self.iou_type = iou_type
+        self.dilation_ratio = dilation_ratio
 
     def run(self) -> dict:
         img_ids = list(self.gt.imgs.keys())
@@ -121,6 +150,15 @@ class COCOEval:
             ) if dts else np.zeros((0, h * w), np.uint8)
             iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
             ious = _mask_iou(dm.astype(bool), gm.astype(bool), iscrowd)
+            if self.iou_type == "boundary":
+                gb = np.stack(
+                    [mask_to_boundary(m.reshape(h, w), self.dilation_ratio).reshape(-1) for m in gm]
+                ) if gts else gm
+                db = np.stack(
+                    [mask_to_boundary(m.reshape(h, w), self.dilation_ratio).reshape(-1) for m in dm]
+                ) if dts else dm
+                b_ious = _mask_iou(db.astype(bool), gb.astype(bool), iscrowd)
+                ious = np.minimum(ious, b_ious)
             per_img[img_id] = (dts, gts, ious)
 
         stats = {}
@@ -159,6 +197,8 @@ class COCOEval:
             "AR_medium": ar("medium"),
             "AR_large": ar("large"),
         }
+        if self.iou_type == "boundary":
+            stats = {f"b{k}": v for k, v in stats.items()}
         return stats
 
     @staticmethod

@@ -54,6 +54,13 @@ class Evaluator:
                 results.update(compute_iou_ciou(self.coco_gt, self.coco_dt, subset=True))
             elif mode == "coco":
                 results.update(COCOEval(self.coco_gt, self.coco_dt).run())
+            elif mode == "boundary-coco":
+                # self-contained Boundary AP (the reference gates this on the
+                # external boundary-iou package, evaluator.py:121-141; we own
+                # the COCOeval so we compute it directly)
+                results.update(
+                    COCOEval(self.coco_gt, self.coco_dt, iou_type="boundary").run()
+                )
             elif mode in ("polis", "hausdorff", "chamfer"):
                 if not any(k in results for k in ("polis", "hausdorff")):
                     results.update(compute_point_metrics(self.coco_gt, self.coco_dt))

@@ -107,6 +107,44 @@ def oracle_hisup(cfg, gt, img_ids) -> dict:
     return {"hisup": _score(_subset_index(gt, img_ids), preds)}
 
 
+def oracle_pix2poly(cfg, gt, img_ids) -> dict:
+    """GT tokens + GT permutation matrix through the real assembly path
+    (Hungarian + cycle merge, predictor_pix2poly.py) — the ceiling for the
+    token→polygon stage. Reference counterpart: the wireframe smoke-test
+    (scripts/test_wireframe_loader.py:10-40)."""
+    from pixelspointspolygons_tpu.data import P3Dataset
+    from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+    from pixelspointspolygons_tpu.predict.predictor_pix2poly import (
+        permutations_to_polygons,
+        scores_to_permutations,
+    )
+    from pixelspointspolygons_tpu.config import compose
+    from pixelspointspolygons_tpu.utils.coco import generate_coco_ann
+
+    cfg = compose(
+        ["experiment=p2p_image", "dataset=synthetic", "run_type=debug",
+         f"experiment.encoder.in_size={int(cfg.experiment.encoder.in_size)}"]
+    )
+    tok = Tokenizer(cfg)
+    ds = P3Dataset(cfg, "val", tokenizer=tok, eval_mode=True)
+    rng = np.random.RandomState(0)
+    by_id = {ds.tile_ids[i]: i for i in range(len(ds))}
+    preds = []
+    for img_id in img_ids:
+        item = ds.get_item(by_id[img_id], rng)
+        coords = tok.decode(item["y"])[:, ::-1]  # (y,x) → (x,y), as predict_batch does
+        n = len(coords)
+        if n == 0:
+            continue
+        # one-hot GT perm → logits-like scores → Hungarian → cycle merge
+        scores = item["y_perm"][None, :n, :n].astype(np.float64)
+        perm = scores_to_permutations(scores)
+        polys = permutations_to_polygons(perm, coords[None])[0]
+        polys = [np.asarray(p, np.float64).reshape(-1, 2) for p in polys]
+        preds.extend(generate_coco_ann([p for p in polys if len(p) >= 3], img_id))
+    return {"pix2poly": _score(_subset_index(gt, img_ids), preds)}
+
+
 def main() -> None:
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     which = kv.pop("model", "all")
@@ -130,6 +168,8 @@ def main() -> None:
         report.update(oracle_ffl(cfg, gt, img_ids, n_ch=n_ch))
     if which in ("hisup", "all"):
         report.update(oracle_hisup(cfg, gt, img_ids))
+    if which in ("pix2poly", "all"):
+        report.update(oracle_pix2poly(cfg, gt, img_ids))
     print(json.dumps(report, indent=1))
 
 

@@ -171,6 +171,33 @@ class TestSyntheticDataset:
         ev = item["edges_valid"]
         assert ev.sum() == jv.sum()  # one edge per vertex in closed rings
 
+    def test_hisup_capacity_cap_warns(self, synth_cfg, caplog):
+        """Dense tiles exceeding model.max_junctions must warn loudly instead
+        of silently corrupting training targets (VERDICT r2 weak #10; the caps
+        are plumbed from config/model/hisup.yaml)."""
+        import logging
+
+        from pixelspointspolygons_tpu.config import compose as compose2
+        from pixelspointspolygons_tpu.data import P3Dataset
+
+        cfg = compose2(
+            [
+                "experiment=debug",
+                "model=hisup",
+                "run_type=debug",
+                "run_type.train_subset=null",
+                "experiment.encoder.max_num_points=4000",
+                "experiment.model.max_junctions=6",
+                "experiment.model.max_edges=6",
+            ]
+        )
+        ds = P3Dataset(cfg, "train")
+        ds.logger.propagate = True  # make_logger detaches from root; let caplog see it
+        with caplog.at_level(logging.WARNING):
+            item = ds.get_item(0, np.random.RandomState(0))
+        assert item["junc_valid"].sum() <= 6
+        assert any("truncated" in r.message for r in caplog.records)
+
     def test_ffl_items(self, synth_cfg):
         from pixelspointspolygons_tpu.config import compose as compose2
         from pixelspointspolygons_tpu.data import P3Dataset

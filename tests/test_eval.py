@@ -104,17 +104,74 @@ class TestPointMetrics:
         r = compute_point_metrics(gt, dt)
         assert r["polis"] == pytest.approx(0.0, abs=1e-9)
         assert r["hausdorff"] == pytest.approx(0.0, abs=1e-9)
-        assert r["num_matched"] == 1
+        assert r["num_matched_images"] == 1
 
     def test_shifted_square(self):
         gt = make_gt({1: [SQ1]})
         shifted = SQ1 + np.array([2.0, 0.0])
         dt = gt.load_res(generate_coco_ann([shifted], 1))
         r = compute_point_metrics(gt, dt)
-        # 2px right shift of a 16px square: left/right vertices are 2px from
-        # the other boundary; top/bottom edges overlap partially
-        assert 0.5 < r["polis"] <= 2.0
-        assert r["hausdorff"] == pytest.approx(2.0 * 0.25, abs=1e-6)  # meters
+        # 2px right shift of the 16px square SQ1 (x∈[8,24],y∈[8,24] → dt
+        # x∈[10,26]): two vertices on each side sit 2px from the other ring,
+        # two lie exactly on it. Reference normalization: per side
+        # Σdist/(2·(4+1)) = 4/10 = 0.4; POLIS = 0.4 + 0.4.
+        assert r["polis"] == pytest.approx(0.8, abs=1e-6)
+        # chamfer/hausdorff are PIXEL units in the reference's
+        # PointBasedMetrics (no resolution scaling)
+        assert r["hausdorff"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_no_exclusion_and_per_image_averaging(self):
+        # Reference protocol: each gt matches its argmax dt WITHOUT exclusion
+        # (polis_chamfer_hausdorff.py:168-177) — one dt can serve two gts —
+        # and images with zero matches are skipped, not averaged as zero.
+        sq_far = SQ1 + np.array([100.0, 0.0])
+        gt = make_gt({1: [SQ1, SQ1 + np.array([1.0, 0.0])], 2: [sq_far]})
+        # img 1: single dt overlapping both gts; img 2: dt far from gt (no match)
+        dt_anns = generate_coco_ann([SQ1], 1) + generate_coco_ann([sq_far + 50.0], 2)
+        dt = gt.load_res(dt_anns)
+        r = compute_point_metrics(gt, dt)
+        assert r["num_matched_images"] == 1  # img 2 skipped entirely
+        # img 1: gt #1 exact (polis 0), gt #2 shifted by 1px (polis 0.4 by the
+        # shifted-square arithmetic above); per-image mean = 0.2
+        assert r["polis"] == pytest.approx(0.2, abs=1e-6)
+
+
+class TestBoundaryCoco:
+    """Boundary AP (reference `boundary-coco` mode, evaluator.py:121-141):
+    IoU = min(mask IoU, boundary IoU), boundary = mask minus its erosion by
+    round(0.02·diag) 3×3 iterations (6 px on a 224 canvas)."""
+
+    BIG = np.array([[50.0, 50.0], [110.0, 50.0], [110.0, 110.0], [50.0, 110.0]])
+
+    def _run(self, dx: float):
+        gt = make_gt({1: [self.BIG]}, size=224)
+        dt = gt.load_res(generate_coco_ann([self.BIG + np.array([dx, 0.0])], 1))
+        return COCOEval(gt, dt).run(), COCOEval(gt, dt, iou_type="boundary").run()
+
+    def test_identical_is_perfect(self):
+        segm, bd = self._run(0.0)
+        assert segm["AP"] == pytest.approx(1.0)
+        assert bd["bAP"] == pytest.approx(1.0)
+
+    def test_boundary_stricter_than_mask(self):
+        # 8px shift of a 60px square: mask IoU 52/68 ≈ 0.76 keeps segm AP50
+        # perfect, but the shift exceeds the 6px boundary band → boundary IoU
+        # collapses and Boundary AP50 goes to zero.
+        segm, bd = self._run(8.0)
+        assert segm["AP50"] == pytest.approx(1.0)
+        assert segm["AP"] == pytest.approx(0.6, abs=1e-6)
+        assert bd["bAP50"] == pytest.approx(0.0)
+
+    def test_band_width(self):
+        from pixelspointspolygons_tpu.eval.cocoeval import mask_to_boundary
+
+        m = np.zeros((224, 224), np.uint8)
+        m[50:110, 50:110] = 1
+        b = mask_to_boundary(m)
+        # interior row: band is exactly round(0.02·√(2·224²)) = 6 px wide
+        assert b[80, 50:60].tolist() == [1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
+        # fully eroded interior survives in the mask but not the boundary
+        assert b[80, 80] == 0 and m[80, 80] == 1
 
 
 class TestMTA:
