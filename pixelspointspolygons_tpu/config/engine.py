@@ -10,7 +10,7 @@ registers the custom resolvers ``eq``/``if``/``divide``):
   ``cfg.experiment.dataset``),
 - ``_self_`` controlling when the file's own keys merge,
 - ``${path}`` absolute and ``${.x}`` / ``${..x}`` relative interpolation,
-- resolvers ``${eq:a,b}``, ``${if:cond,a,b}``, ``${divide:a,b}``,
+- resolvers ``${eq:a,b}``, ``${if:cond,a,b}``, ``${divide:a,b}``, ``${mult:a,b}``,
 - CLI overrides: ``group=option``, ``key.path=value``, ``+key.path=value``,
   ``~key`` deletion.
 
@@ -336,6 +336,10 @@ def _eval_resolver(name: str, args: list[Any]) -> Any:
         a, b = (_coerce(x) for x in args)
         out = a / b
         return int(out) if float(out).is_integer() else out
+    if name == "mult":
+        a, b = (_coerce(x) for x in args)
+        out = a * b
+        return int(out) if float(out).is_integer() else out
     raise ValueError(f"Unknown resolver: {name!r}")
 
 
@@ -357,7 +361,7 @@ def _split_args(body: str) -> list[str]:
     return args
 
 
-_RESOLVER_RE = re.compile(r"^(eq|if|divide|oc_env):(.*)$", re.S)
+_RESOLVER_RE = re.compile(r"^(eq|if|divide|mult|oc_env):(.*)$", re.S)
 
 
 def _eval_interp(tree: dict, node_path: list[str], body: str) -> Any:

@@ -21,7 +21,15 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from .torch_port import jax_tree_to_mutable, port_dinov2_vit, port_hrnet, port_timm_vit
+from .torch_port import (
+    interpolate_pos_embed,
+    jax_tree_to_mutable,
+    normalize_state_dict,
+    port_dinov2_vit,
+    port_hrnet,
+    port_timm_vit,
+    vit_unconsumed_keys,
+)
 
 
 def _load_torch_sd(path: str) -> dict:
@@ -38,7 +46,10 @@ def _cfg_get(node: Any, name: str, default=None):
     try:
         v = getattr(node, name)
     except Exception:
-        return default
+        try:
+            v = node[name]  # plain-dict nodes (e.g. injected by --from-pth)
+        except Exception:
+            return default
     return default if v is None else v
 
 
@@ -137,8 +148,15 @@ def apply_pretrained_encoder(cfg, variables, logger=None):
             raise FileNotFoundError(f"ViT checkpoint not found: {vit_file}")
         sd = _load_torch_sd(str(vit_file))
         depth = 12
-        is_dinov2 = name == "vit_dinov2" or "blocks.0.ls1.gamma" in sd
-        ported = port_dinov2_vit(sd, depth=depth) if is_dinov2 else port_timm_vit(sd, depth=depth)
+        norm_sd, prefix = normalize_state_dict(sd)
+        extras = vit_unconsumed_keys(norm_sd)
+        if logger and (prefix or extras):
+            logger.info(
+                f"real-checkpoint normalization: stripped prefix {prefix!r}, "
+                f"skipping {len(extras)} extra keys (e.g. {extras[:4]})"
+            )
+        is_dinov2 = name == "vit_dinov2" or "blocks.0.ls1.gamma" in norm_sd
+        ported = port_dinov2_vit(norm_sd, depth=depth) if is_dinov2 else port_timm_vit(norm_sd, depth=depth)
         v = ensure_mutable()
         trunks = _find_vit_trunks(v["params"])
         if not trunks and logger:
@@ -147,6 +165,19 @@ def apply_pretrained_encoder(cfg, variables, logger=None):
             node = v["params"]
             for p in tpath:
                 node = node[p]
+            # checkpoints are 224px grids; resample pos_embed for other in_sizes
+            if np.shape(node.get("pos_embed")) != np.shape(ported["pos_embed"]):
+                ported = dict(
+                    ported,
+                    pos_embed=interpolate_pos_embed(
+                        ported["pos_embed"], np.shape(node["pos_embed"])[1]
+                    ),
+                )
+                if logger:
+                    logger.info(
+                        f"interpolated pos_embed to {np.shape(ported['pos_embed'])} "
+                        f"for {'/'.join(tpath)}"
+                    )
             loaded, skipped = _graft(node, ported, logger, "/".join(tpath))
             if logger:
                 logger.info(

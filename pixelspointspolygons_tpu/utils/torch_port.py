@@ -32,10 +32,62 @@ def _np(t: Any) -> np.ndarray:
     return np.asarray(t)
 
 
+# Anchor keys that identify where the trunk lives inside a real checkpoint
+# (real files wrap the trunk in `module.` (DDP), `backbone.`, `encoder.`, ...;
+# the reference absorbs these with suffix matching, misc/shared_utils.py:67-118).
+_VIT_ANCHOR = "cls_token"
+_HRNET_ANCHOR = "conv1.weight"
+
+
+def normalize_state_dict(sd: Mapping[str, Any], anchor: str = _VIT_ANCHOR) -> tuple[dict, str]:
+    """Strip the wrapper prefix of a real checkpoint's state_dict.
+
+    Finds the shortest prefix P such that `P + anchor` is a key, and returns
+    ({k-without-P: v for keys under P}, P). Keys outside P (classification
+    heads, EMA copies, ...) are dropped — callers report them via
+    `unconsumed_keys`. No-op when the anchor is already a bare key."""
+    keys = list(sd.keys())
+    if anchor in keys:
+        return dict(sd), ""
+    candidates = sorted(
+        (k[: -len(anchor)] for k in keys if k.endswith("." + anchor) or k.endswith(anchor)),
+        key=len,
+    )
+    for prefix in candidates:
+        sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        if anchor in sub:
+            return sub, prefix
+    return dict(sd), ""
+
+
+def _fuse_qkv(sd: dict, p: str) -> tuple[np.ndarray, np.ndarray]:
+    """attn qkv weight/bias for block prefix `p` ('blocks.i.'), tolerating both
+    the fused timm layout (attn.qkv.*) and separate q/k/v projections
+    (attn.{q,k,v}.* or attn.{q,k,v}_proj.*, as some released ViTs store)."""
+    if p + "attn.qkv.weight" in sd:
+        return sd[p + "attn.qkv.weight"], sd[p + "attn.qkv.bias"]
+    for stem in ("attn.{}.{}", "attn.{}_proj.{}"):
+        wk = p + stem.format("q", "weight")
+        if wk in sd:
+            w = np.concatenate([sd[p + stem.format(x, "weight")] for x in "qkv"], axis=0)
+            b = np.concatenate([sd[p + stem.format(x, "bias")] for x in "qkv"], axis=0)
+            return w, b
+    raise KeyError(p + "attn.qkv.weight")
+
+
+# key stems a ViT port consumes; anything else in the (normalized) state_dict
+# is an extra to skip-and-log (heads, mask_token, dist_token, ...)
+_VIT_CONSUMED_STEMS = ("cls_token", "pos_embed", "patch_embed.", "blocks.", "norm.")
+
+
+def vit_unconsumed_keys(sd: Mapping[str, Any]) -> list[str]:
+    return [k for k in sd if not k.startswith(_VIT_CONSUMED_STEMS)]
+
+
 def port_timm_vit(state_dict: Mapping[str, Any], depth: int = 12) -> dict:
     """→ params dict for models.vit.ViTBackbone (use under {'params': {'vit': ...}}
     inside ViTEncoder/ViTCNNEncoder, or directly for a bare backbone)."""
-    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd, _prefix = normalize_state_dict({k: _np(v) for k, v in state_dict.items()})
     params: dict = {}
 
     params["cls_token"] = sd["cls_token"].reshape(1, 1, -1)
@@ -48,8 +100,7 @@ def port_timm_vit(state_dict: Mapping[str, Any], depth: int = 12) -> dict:
     dim = w.shape[0]
     for i in range(depth):
         p = f"blocks.{i}."
-        qkv_w = sd[p + "attn.qkv.weight"]  # (3D, D)
-        qkv_b = sd[p + "attn.qkv.bias"]
+        qkv_w, qkv_b = _fuse_qkv(sd, p)  # (3D, D), (3D,)
         qw, kw, vw = np.split(qkv_w, 3, axis=0)
         qb, kb, vb = np.split(qkv_b, 3, axis=0)
         dense = lambda wmat, bvec: {"kernel": wmat.T, "bias": bvec}
@@ -92,7 +143,7 @@ def port_dinov2_vit(state_dict: Mapping[str, Any], depth: int = 12) -> dict:
     unused `mask_token`. Reuses the timm mapping for everything else.
     """
     params = port_timm_vit(state_dict, depth=depth)
-    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd, _prefix = normalize_state_dict({k: _np(v) for k, v in state_dict.items()})
     for i in range(depth):
         params[f"block{i}"]["ls1"] = sd[f"blocks.{i}.ls1.gamma"]
         params[f"block{i}"]["ls2"] = sd[f"blocks.{i}.ls2.gamma"]
@@ -173,7 +224,9 @@ def port_hrnet(state_dict: Mapping[str, Any], variables: Mapping[str, Any], **to
     Returns (new_variables, loaded_keys, skipped_prefixes). `topo` kwargs
     must match the HRNetEncoder attributes (width, num_modules, ...).
     """
-    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd, _prefix = normalize_state_dict(
+        {k: _np(v) for k, v in state_dict.items()}, anchor=_HRNET_ANCHOR
+    )
     new = jax_tree_to_mutable(variables)
 
     def set_path(col, path, leaf_name, value):
@@ -214,6 +267,37 @@ def port_hrnet(state_dict: Mapping[str, Any], variables: Mapping[str, Any], **to
             set_path("batch_stats", flax_name, "var", sd[f"{torch_prefix}.running_var"])
             loaded.append(torch_prefix)
     return new, loaded, skipped
+
+
+def interpolate_pos_embed(pos: np.ndarray, n_tokens: int) -> np.ndarray:
+    """Resize a (1, 1+G², D) ViT positional embedding to `n_tokens` = 1+G'²
+    grid tokens by bilinear interpolation of the grid part (cls row kept).
+
+    Real checkpoints are 224px grids (G=28 for p8, G=16 for p14); our encoders
+    run at cfg in_size which may differ — the reference sidesteps this by
+    always constructing timm models at 224 (vit.py:20), so this is the
+    mechanism that makes real weights usable at other input sizes."""
+    n_src = pos.shape[1] - 1
+    if n_src + 1 == n_tokens:
+        return pos
+    g_src = int(round(np.sqrt(n_src)))
+    g_dst = int(round(np.sqrt(n_tokens - 1)))
+    assert g_src * g_src == n_src and g_dst * g_dst == n_tokens - 1, (
+        f"non-square pos_embed grids: {n_src} → {n_tokens - 1}"
+    )
+    grid = pos[0, 1:].reshape(g_src, g_src, -1).astype(np.float64)
+    # align_corners=False bilinear (cv2/torch convention), pure numpy because
+    # cv2.resize caps channel count well below an embedding dim
+    coords = (np.arange(g_dst) + 0.5) * (g_src / g_dst) - 0.5
+    lo = np.clip(np.floor(coords).astype(int), 0, g_src - 1)
+    hi = np.clip(lo + 1, 0, g_src - 1)
+    frac = np.clip(coords - lo, 0.0, 1.0)
+    rows = grid[lo] * (1 - frac)[:, None, None] + grid[hi] * frac[:, None, None]
+    resized = (
+        rows[:, lo] * (1 - frac)[None, :, None] + rows[:, hi] * frac[None, :, None]
+    )
+    out = np.concatenate([pos[0, :1], resized.reshape(g_dst * g_dst, -1)], axis=0)
+    return out[None].astype(pos.dtype)
 
 
 def jax_tree_to_mutable(tree):

@@ -99,6 +99,70 @@ class TestMultiDevice:
 
         g.dryrun_multichip(8)
 
+    def test_hrnet_bn_sync_parity(self, mesh8):
+        """SyncBN semantics under the mesh (reference wraps HiSup in
+        SyncBatchNorm, model_hisup.py:356-358): BatchNorm batch_stats after one
+        train step on the 8-device-sharded batch must equal the single-device
+        stats on the same gathered batch — under jit, a mean over a sharded
+        batch axis is a global mean, which IS SyncBN."""
+        import jax
+        import jax.numpy as jnp
+
+        from pixelspointspolygons_tpu.models.hisup.model import HiSup
+        from pixelspointspolygons_tpu.parallel import make_mesh, replicate, shard_batch
+        from pixelspointspolygons_tpu.train import (
+            create_train_state,
+            linear_warmup_decay,
+            make_optimizer,
+        )
+        from pixelspointspolygons_tpu.train.hisup_step import make_train_step
+
+        S, B, J = 16, 16, 8
+        r = np.random.RandomState(7)
+        batch = {
+            "images": r.rand(B, S, S, 3).astype(np.float32),
+            "junctions": r.uniform(1, S - 1, (B, J, 2)).astype(np.float32),
+            "junc_tags": r.randint(1, 3, (B, J)).astype(np.int32),
+            "junc_valid": np.ones((B, J), bool),
+            "edges": r.uniform(1, S - 1, (B, J, 4)).astype(np.float32),
+            "edges_valid": np.ones((B, J), bool),
+            "mask": (r.rand(B, S, S) > 0.5).astype(np.float32),
+        }
+        model = HiSup(
+            encoder_cfg={
+                "name": "hrnet", "in_size": S, "width": 4, "stage1_planes": 4,
+                "stage1_blocks": 1, "num_blocks": 1, "num_modules": (1, 1, 1),
+                "stem_ch": 4,
+            },
+            dim=32,
+            pred_size=S,
+        )
+        variables = jax.device_get(
+            model.init(jax.random.PRNGKey(0), {"images": jnp.asarray(batch["images"][:1])})
+        )  # host copies: the jitted step donates its state, freeing device buffers
+        weights = {"loss_jloc": 8.0, "loss_joff": 0.25, "loss_mask": 1.0,
+                   "loss_afm": 0.1, "loss_remask": 1.0}
+        step = make_train_step(model, weights=weights, size=S)
+
+        def run(mesh):
+            tx = make_optimizer("adamw", linear_warmup_decay(1e-4, 100))
+            state = replicate(create_train_state(model, variables, tx), mesh)
+            state, metrics = step(state, shard_batch(batch, mesh))
+            return jax.device_get(state.batch_stats), jax.device_get(metrics)
+
+        bs8, m8 = run(mesh8)
+        bs1, m1 = run(make_mesh(1))
+        flat8 = jax.tree_util.tree_leaves_with_path(bs8)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(bs1))
+        assert flat8, "no batch_stats — HRNet BN not exercised"
+        for path, leaf in flat8:
+            np.testing.assert_allclose(
+                leaf, flat1[path], rtol=2e-5, atol=2e-6,
+                err_msg=f"batch_stats diverge at {jax.tree_util.keystr(path)}",
+            )
+        for k in m8:
+            np.testing.assert_allclose(float(m8[k]), float(m1[k]), rtol=2e-5)
+
 
 def test_all_gather_objects_multiprocess_path(monkeypatch):
     """Exercise the multi-process serialize→pad→allgather→deserialize path by

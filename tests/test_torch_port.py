@@ -344,3 +344,108 @@ def test_apply_pretrained_encoder_vit_graft():
     loaded2, skipped2 = _graft(tree2["vit"], ported)
     assert skipped2 == 1
     assert tree2["vit"]["pos_embed"].shape == (1, 5, DIM)
+
+
+class TestRealCheckpointRobustness:
+    """Real released checkpoints wrap the trunk and carry extras the reference
+    absorbs with fuzzy key matching (misc/shared_utils.py:67-118); our port
+    functions must tolerate them: wrapper prefixes, classification heads,
+    mask_token, separate-q/k/v attention, and pos_embed grids ≠ our in_size."""
+
+    def _realish_sd(self):
+        sd = make_torch_vit_state(seed=3)
+        # separate q/k/v variant for block 1
+        p = "blocks.1."
+        qw, kw, vw = torch.split(sd.pop(p + "attn.qkv.weight"), DIM, dim=0)
+        qb, kb, vb = torch.split(sd.pop(p + "attn.qkv.bias"), DIM, dim=0)
+        sd.update({p + "attn.q.weight": qw, p + "attn.k.weight": kw,
+                   p + "attn.v.weight": vw, p + "attn.q.bias": qb,
+                   p + "attn.k.bias": kb, p + "attn.v.bias": vb})
+        # DDP-style prefix + real-checkpoint extras
+        wrapped = {f"module.{k}": v for k, v in sd.items()}
+        wrapped["module.head.weight"] = torch.zeros(10, DIM)
+        wrapped["module.head.bias"] = torch.zeros(10)
+        wrapped["module.mask_token"] = torch.zeros(1, DIM)
+        return sd, wrapped
+
+    def test_prefix_extras_and_split_qkv(self):
+        sd, wrapped = self._realish_sd()
+        from pixelspointspolygons_tpu.utils.torch_port import (
+            normalize_state_dict,
+            vit_unconsumed_keys,
+        )
+
+        norm, prefix = normalize_state_dict({k: v.numpy() for k, v in wrapped.items()})
+        assert prefix == "module."
+        extras = vit_unconsumed_keys(norm)
+        assert sorted(extras) == ["head.bias", "head.weight", "mask_token"]
+
+        params = port_timm_vit(wrapped, depth=DEPTH)
+        want = port_timm_vit(sd, depth=DEPTH)  # plain fused-qkv layout
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pos_embed_interpolation(self):
+        from pixelspointspolygons_tpu.utils.torch_port import interpolate_pos_embed
+
+        g_src, g_dst = IMG // PATCH, 6
+        pos = np.random.RandomState(0).rand(1, g_src * g_src + 1, DIM).astype(np.float32)
+        out = interpolate_pos_embed(pos, g_dst * g_dst + 1)
+        assert out.shape == (1, g_dst * g_dst + 1, DIM)
+        np.testing.assert_array_equal(out[0, 0], pos[0, 0])  # cls row untouched
+        # constant field stays constant under bilinear resampling
+        const = np.concatenate([np.zeros((1, 1, DIM)), np.full((1, g_src**2, DIM), 7.0)], 1).astype(np.float32)
+        out_c = interpolate_pos_embed(const, g_dst * g_dst + 1)
+        np.testing.assert_allclose(out_c[0, 1:], 7.0, rtol=1e-6)
+
+    def test_from_pth_smoke_cli(self, tmp_path):
+        """--from-pth drives apply_pretrained_encoder end to end on a padded
+        fake 'real' checkpoint (VERDICT r2 next-step #8)."""
+        import os
+        import subprocess
+        import sys as _sys
+
+        _, wrapped = self._realish_sd()
+        # full-size ViT-S/8 trunk so shapes match the p2p_image encoder
+        full = make_torch_vit_state(seed=4)
+        # rebuild at production dims (384, depth 12, patch 8, img 224)
+        g = torch.Generator().manual_seed(5)
+        r = lambda *s: torch.randn(*s, generator=g) * 0.05
+        D = 384
+        full = {
+            "cls_token": r(1, 1, D),
+            "pos_embed": r(1, 28 * 28 + 1, D),
+            "patch_embed.proj.weight": r(D, 3, 8, 8),
+            "patch_embed.proj.bias": r(D),
+            "norm.weight": 1 + 0.1 * r(D),
+            "norm.bias": r(D),
+        }
+        for i in range(12):
+            p = f"blocks.{i}."
+            full.update({
+                p + "norm1.weight": 1 + 0.1 * r(D), p + "norm1.bias": r(D),
+                p + "attn.qkv.weight": r(3 * D, D), p + "attn.qkv.bias": r(3 * D),
+                p + "attn.proj.weight": r(D, D), p + "attn.proj.bias": r(D),
+                p + "norm2.weight": 1 + 0.1 * r(D), p + "norm2.bias": r(D),
+                p + "mlp.fc1.weight": r(4 * D, D), p + "mlp.fc1.bias": r(4 * D),
+                p + "mlp.fc2.weight": r(D, 4 * D), p + "mlp.fc2.bias": r(D),
+            })
+        wrapped_full = {f"module.{k}": v for k, v in full.items()}
+        wrapped_full["module.head.weight"] = torch.zeros(10, D)
+        wrapped_full["module.mask_token"] = torch.zeros(1, D)
+        pth = tmp_path / "fake_dino.pth"
+        torch.save({"state_dict": wrapped_full}, pth)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [_sys.executable, "scripts/download_pretrained.py", "--from-pth", str(pth),
+             "experiment=p2p_image", "run_type=debug",
+             # small in_size exercises pos_embed interpolation (28² → 8² grid)
+             "experiment.encoder.in_size=64"],
+            capture_output=True, text=True, cwd=repo, env=env, timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        combined = out.stdout + out.stderr
+        assert "from-pth smoke OK" in combined
+        assert "interpolated pos_embed" in combined
