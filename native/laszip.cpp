@@ -18,14 +18,16 @@
 // The two 16x16 return-context tables (map->6ctx, level->8ctx) only select
 // prediction buckets (median bucket for X/Y, last_Z slot for Z); they never
 // influence which arithmetic models decode the stream — stream sync is
-// table-independent. P3's COPC tiles carry (number_of_returns, return_number)
-// = (0, 0) for every point (attributes stripped at dataset build), so only
-// entry [0][0] is ever exercised and decode conformance is proven by exact
-// header-bbox equality on a real tile. For third-party files with rich
-// multi-return data the tables below are a best-effort reconstruction of the
-// published grouping; a mismatch would skew predicted coordinates (never the
-// symbol stream), which the Python binding catches by verifying decoded
-// min/max against the header bbox and refusing silently-corrupt output.
+// table-independent. The tables below match the published LASzip v3
+// constants: DEFAULT_MAP6 is number_return_map_6ctx and level8() computes
+// number_return_level_8ctx = clamp(|n - r|, 0..7) in closed form (verified
+// against the values recovered from real COPC streams by
+// scripts/dev_recover_laz_tables.py). Multi-return coding is exercised end
+// to end by tests/test_laz.py round-trips with randomized
+// (return_number, number_of_returns), including degenerate combos (0,0)
+// (what P3 tiles carry), r > n, and the full 0..15 range. As defense in
+// depth the Python binding still verifies decoded min/max against the
+// header bbox and refuses silently-corrupt output.
 //
 // C API (ctypes): p3laz_read_points / p3laz_write_points / p3laz_last_error.
 

@@ -77,5 +77,5 @@ class ConvNeXtEncoder(nn.Module):
         ]
         x = jnp.concatenate(ups, axis=-1)
         x = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

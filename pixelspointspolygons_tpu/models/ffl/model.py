@@ -67,10 +67,10 @@ class FFL(nn.Module):
             raise NotImplementedError(f"encoder {name!r} for ffl")
 
         self.seg_conv = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype)
-        self.seg_bn = nn.BatchNorm(dtype=self.dtype)
+        self.seg_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
         self.seg_out = nn.Conv(self.seg_channels, (1, 1), dtype=self.dtype)
         self.cf_conv = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype)
-        self.cf_bn = nn.BatchNorm(dtype=self.dtype)
+        self.cf_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
         self.cf_out = nn.Conv(4, (1, 1), dtype=self.dtype)
 
     def encode(self, batch, *, train: bool = False):

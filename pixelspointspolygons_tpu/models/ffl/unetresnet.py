@@ -26,16 +26,16 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         h = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.ch, (3, 3), (self.stride, self.stride), padding="SAME", use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.ch * 4, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(h)
         if x.shape[-1] != self.ch * 4 or self.stride != 1:
             x = nn.Conv(self.ch * 4, (1, 1), (self.stride, self.stride), use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x + h)
 
 
@@ -51,7 +51,7 @@ class UNetResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, images, *, train: bool = False):
         x = nn.Conv(self.base_width, (7, 7), (2, 2), padding="SAME", use_bias=False, dtype=self.dtype)(images)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         stem = nn.relu(x)  # 1/2
         x = nn.max_pool(stem, (3, 3), (2, 2), padding="SAME")  # 1/4
 
@@ -70,8 +70,8 @@ class UNetResNetEncoder(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             ch = max(self.out_dim, skip.shape[-1])
             x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

@@ -67,7 +67,7 @@ class EarlyFusionViTEncoder(nn.Module):
 
         x = jnp.concatenate([x_img, x_lidar], axis=-1)
         x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, name="fusion_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="fusion_bn")(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype, name="fusion_bn")(x)
         x = nn.relu(x)
 
         B, gh, gw, D = x.shape
@@ -119,5 +119,5 @@ class EarlyFusionViTCNNEncoder(nn.Module):
         x = tokens.reshape(B, g, g, C)
         x = jax.image.resize(x, (B, self.out_size, self.out_size, C), "bilinear")
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

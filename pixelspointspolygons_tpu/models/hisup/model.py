@@ -39,7 +39,7 @@ class ConvStack3(nn.Module):
     def __call__(self, x, *, train: bool = False):
         for ch in (self.dim_hid, self.dim_hid, self.dim_out):
             x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -78,7 +78,7 @@ class ECA(nn.Module):
         y = jax.nn.sigmoid(y)[:, None, None, :]
         out = x2 * y
         out = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype)(out)
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)
+        out = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(out)
         return nn.relu(out)
 
 

@@ -80,7 +80,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype, name=name)
         h = _conv(self.ch, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         h = bn("bn1")(h)
         h = nn.relu(h)
@@ -102,7 +102,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         out_ch = self.planes * 4
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype, name=name)
         h = _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
         h = bn("bn1")(h)
         h = nn.relu(h)
@@ -137,7 +137,7 @@ class HRModule(nn.Module):
                 )
         if n == 1:
             return xs
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype, name=name)
         outs = []
         for i in range(n):
             acc = None
@@ -181,7 +181,7 @@ class HRNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, images, *, train: bool = False):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype, name=name)
         x = _conv(self.stem_ch, 3, 2, dtype=self.dtype, name="conv1")(images)
         x = nn.relu(bn("bn1")(x))
         x = _conv(self.stem_ch, 3, 2, dtype=self.dtype, name="conv2")(x)
@@ -281,5 +281,5 @@ class FusionHRNetEncoder(nn.Module):
         lid_f = resize_align_corners(lid_f, img_f.shape[1:3])
         x = jnp.concatenate([img_f, lid_f], axis=-1)
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

@@ -112,7 +112,7 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)
 
 

@@ -168,7 +168,7 @@ class ScoreNet(nn.Module):
         x = jnp.concatenate([a, b], axis=-1)  # (B, V, V, 2D)
         for ch in (256, 128, 64):
             x = nn.Dense(ch, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, axis=-1, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, axis=-1, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = nn.Dense(1, dtype=self.dtype)(x)
         return x[..., 0]

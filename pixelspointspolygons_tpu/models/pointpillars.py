@@ -49,7 +49,7 @@ class PillarFeatureNet(nn.Module):
         n_layers = len(self.feat_channels)
         for li, ch in enumerate(self.feat_channels):
             x = nn.Dense(ch, use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = x * keep[:, None]
             pooled = _masked_segment_max(x, keep, pillar_id, num_segments)
@@ -173,10 +173,10 @@ class PointPillarsDenseEncoder(nn.Module):
         for i, ch in enumerate(self.out_channels):
             stride = 1 if i == 0 else 2
             x = nn.Conv(ch, (3, 3), (stride, stride), padding="SAME", dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             feats.append(x)
         # FPN-style upsample to common resolution and concat
@@ -188,5 +188,5 @@ class PointPillarsDenseEncoder(nn.Module):
         x = jnp.concatenate(ups, axis=-1)
         x = jax.image.resize(x, (x.shape[0], self.out_size, self.out_size, x.shape[-1]), "bilinear")
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

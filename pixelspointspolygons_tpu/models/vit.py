@@ -154,5 +154,5 @@ class ViTCNNEncoder(nn.Module):
         x = x.reshape(B, g, g, C)
         x = jax.image.resize(x, (B, self.out_size, self.out_size, C), "bilinear")
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(momentum=0.9, use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)

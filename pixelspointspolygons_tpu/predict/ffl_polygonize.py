@@ -32,8 +32,9 @@ import numpy as np
 from ..ops.bilinear import bilinear_interpolate
 from ..ops.crossfield import framefield_align_error
 
-P_MAX = 256  # rings per device batch
-V_MAX = 1024  # vertices per ring
+MAX_TOTAL_VERTS = 65536  # hard cap across a device batch (logged when hit)
+MIN_BUCKET = 1024  # smallest padded flat size (keeps recompiles bounded)
+V_MAX = 4096  # per-ring decimation cap (a 224px tile perimeter is ~900)
 
 
 # --------------------------------------------------------------------------
@@ -88,39 +89,63 @@ def _decimate(ring: np.ndarray, max_len: int) -> np.ndarray:
     return ring[np.unique(idx)]
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two padded size ≥ n (≥ MIN_BUCKET) — a handful of jit
+    shapes instead of one 256×1024 worst-case pad (16-20× less ACM compute
+    on typical batches; the old fixed pad was the 1.2 tiles/s bottleneck)."""
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
 def pack_contours(contours_per_sample: list[list[tuple[np.ndarray, bool]]]):
-    """→ (pos (P,V,2) f32, vmask (P,V) bool, next_idx (P,V) i32,
-    batch_idx (P,) i32, pinned (P,V) bool, closed (P,) bool, ring_count).
-    Rings beyond P_MAX are dropped (logged by caller); vertices are decimated
-    to V_MAX. Open polylines get no wrap-around edge and their endpoints are
-    pinned (the reference pins TensorPoly endpoints every optimizer step,
-    polygonize_acm.py:203-204)."""
-    pos = np.zeros((P_MAX, V_MAX, 2), np.float32)
-    vmask = np.zeros((P_MAX, V_MAX), bool)
-    next_idx = np.tile(np.arange(V_MAX, dtype=np.int32), (P_MAX, 1))
-    batch_idx = np.zeros((P_MAX,), np.int32)
-    pinned = np.zeros((P_MAX, V_MAX), bool)
-    closed_fl = np.zeros((P_MAX,), bool)
-    p = 0
+    """Flat-concat packing of all rings of the whole mini-batch (the same
+    layout as the reference's TensorPoly flat concat, tensorpoly.py:6-139,
+    but with absolute `next` indices instead of slices so every array op is a
+    gather):
+
+    → (pos (N, 2) f32, vmask (N,) bool, next_idx (N,) i32 absolute,
+       point_batch (N,) i32, pinned (N,) bool,
+       rings [(start, n, batch, closed)], total_kept)
+
+    N is the power-of-two bucket of the total vertex count. Open polylines
+    get no wrap-around edge and their endpoints are pinned (the reference
+    pins TensorPoly endpoints every optimizer step, polygonize_acm.py:203-204).
+    Rings past MAX_TOTAL_VERTS are dropped (caller logs)."""
+    rings_meta: list[tuple[int, int, int, bool]] = []
+    chunks: list[np.ndarray] = []
+    total = 0
+    dropped = 0
     for b, rings in enumerate(contours_per_sample):
         for ring, closed in rings:
-            if p >= P_MAX:
-                break
             ring = _decimate(ring, V_MAX)
             n = len(ring)
             if n < (3 if closed else 2):
                 continue
-            pos[p, :n] = ring
-            vmask[p, :n] = True
-            if closed:
-                next_idx[p, :n] = (np.arange(n) + 1) % n
-            else:
-                next_idx[p, : n - 1] = np.arange(1, n)
-                pinned[p, 0] = pinned[p, n - 1] = True
-            batch_idx[p] = b
-            closed_fl[p] = closed
-            p += 1
-    return pos, vmask, next_idx, batch_idx, pinned, closed_fl, p
+            if total + n > MAX_TOTAL_VERTS:
+                dropped += 1
+                continue
+            rings_meta.append((total, n, b, closed))
+            chunks.append(np.asarray(ring, np.float32))
+            total += n
+
+    N = _bucket(total)
+    pos = np.zeros((N, 2), np.float32)
+    vmask = np.zeros((N,), bool)
+    next_idx = np.arange(N, dtype=np.int32)  # padding points to self
+    point_batch = np.zeros((N,), np.int32)
+    pinned = np.zeros((N,), bool)
+    for (start, n, b, closed), ring in zip(rings_meta, chunks):
+        pos[start : start + n] = ring
+        vmask[start : start + n] = True
+        point_batch[start : start + n] = b
+        if closed:
+            next_idx[start : start + n] = start + (np.arange(n) + 1) % n
+        else:
+            next_idx[start : start + n - 1] = start + np.arange(1, n)
+            pinned[start] = pinned[start + n - 1] = True
+    return pos, vmask, next_idx, point_batch, pinned, rings_meta, dropped
 
 
 # --------------------------------------------------------------------------
@@ -128,14 +153,14 @@ def pack_contours(contours_per_sample: list[list[tuple[np.ndarray, bool]]]):
 # --------------------------------------------------------------------------
 
 
-def _acm_loss(pos, vmask, next_idx, batch_idx, indicator, c0c2, params):
-    """PolygonAlignLoss equivalent on the padded representation.
+def _acm_loss(pos, vmask, next_idx, point_batch, indicator, c0c2, params):
+    """PolygonAlignLoss equivalent on the flat representation.
 
-    pos: (P, V, 2) (y, x); indicator: (B, H, W); c0c2: (B, 4, H, W).
+    pos: (N, 2) (y, x); indicator: (B, H, W); c0c2: (B, 4, H, W).
     """
     H, W = indicator.shape[1], indicator.shape[2]
-    nxt = jnp.take_along_axis(pos, next_idx[..., None], axis=1)
-    edges = nxt - pos  # (P, V, 2)
+    nxt = pos[next_idx]  # (N, 2)
+    edges = nxt - pos
     norms = jnp.sqrt(jnp.sum(edges * edges, axis=-1) + 1e-12)  # safe at 0 (padded edges)
     edge_mask = vmask & (norms > 0.1)
     fmask = edge_mask.astype(jnp.float32)
@@ -143,8 +168,7 @@ def _acm_loss(pos, vmask, next_idx, batch_idx, indicator, c0c2, params):
     mid = (pos + nxt) / 2.0
     mi = jnp.clip(jnp.round(mid[..., 0]).astype(jnp.int32), 0, H - 1)
     mj = jnp.clip(jnp.round(mid[..., 1]).astype(jnp.int32), 0, W - 1)
-    bidx = batch_idx[:, None]
-    cf = c0c2[bidx, :, mi, mj]  # (P, V, 4)
+    cf = c0c2[point_batch, :, mi, mj]  # (N, 4)
     c0 = jax.lax.complex(cf[..., 0], cf[..., 1])
     c2 = jax.lax.complex(cf[..., 2], cf[..., 3])
     zn = edges / (norms[..., None] + 1e-3)
@@ -152,10 +176,7 @@ def _acm_loss(pos, vmask, next_idx, batch_idx, indicator, c0c2, params):
     align = framefield_align_error(c0, c2, z) * fmask
     align_loss = align.sum()
 
-    flat_pos = pos.reshape(-1, 2)
-    flat_batch = jnp.repeat(batch_idx, pos.shape[1])
-    vals = bilinear_interpolate(indicator[:, None], flat_pos, flat_batch)[:, 0]
-    vals = vals.reshape(pos.shape[0], pos.shape[1])
+    vals = bilinear_interpolate(indicator[:, None], pos, point_batch)[:, 0]
     level_loss = (((vals - params["data_level"]) ** 2) * vmask).sum()
 
     length_loss = ((norms * fmask) ** 2).sum()
@@ -174,7 +195,7 @@ def acm_optimize(
     pos,
     vmask,
     next_idx,
-    batch_idx,
+    point_batch,
     indicator,
     c0c2,
     pinned=None,
@@ -196,7 +217,7 @@ def acm_optimize(
         "crossfield_coef": crossfield_coef,
     }
     grad_fn = jax.grad(
-        lambda p: _acm_loss(p, vmask, next_idx, batch_idx, indicator, c0c2, params)
+        lambda p: _acm_loss(p, vmask, next_idx, point_batch, indicator, c0c2, params)
     )
     fm = vmask.astype(jnp.float32)[..., None]
     if pinned is not None:
@@ -498,21 +519,21 @@ class Polygonizer:
         mc = self.cfg.acm_method
         B = indicator.shape[0]
         H, W = indicator.shape[1], indicator.shape[2]
-        pos, vmask, next_idx, batch_idx, pinned, closed_fl, n_rings = pack_contours(contours)
-        total = sum(len(c) for c in contours)
-        if total > n_rings:
+        pos, vmask, next_idx, point_batch, pinned, rings_meta, dropped = pack_contours(contours)
+        if dropped:
             # silent caps are a lie — surface the drop
             import logging
 
             logging.getLogger("Polygonizer").warning(
-                f"ACM ring capacity exceeded: kept {n_rings}/{total} rings"
+                f"ACM vertex capacity exceeded: dropped {dropped} rings "
+                f"(cap {MAX_TOTAL_VERTS} total vertices)"
             )
-        if n_rings > 0:
+        if rings_meta:
             pos_opt = acm_optimize(
                 jnp.asarray(pos),
                 jnp.asarray(vmask),
                 jnp.asarray(next_idx),
-                jnp.asarray(batch_idx),
+                jnp.asarray(point_batch),
                 jnp.asarray(indicator),
                 jnp.asarray(crossfield),
                 jnp.asarray(pinned),
@@ -531,13 +552,12 @@ class Polygonizer:
         uv_cache = {}
         for tol in list(mc.tolerance):
             per_sample: list[list[np.ndarray]] = [[] for _ in range(B)]
-            for p in range(n_rings):
-                b = int(batch_idx[p])
-                ring = pos[p][vmask[p]]
+            for start, n, b, closed in rings_meta:
+                ring = pos[start : start + n]
                 if b not in uv_cache:
                     uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
                 u, v = uv_cache[b]
-                if closed_fl[p]:
+                if closed:
                     if len(ring) < 3:
                         continue
                     ring = presimplify_ring(ring, float(tol) * 0.5)

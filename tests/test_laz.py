@@ -22,7 +22,13 @@ def _cloud(n=20000, seed=0, multi=True):
     xyz = np.cumsum(rng.integers(-300, 300, size=(n, 3)), axis=0) * 0.01
     xyz += np.array([2_600_000.0, 1_200_000.0, 400.0])
     attrs = {}
-    if multi:
+    if multi == "degenerate":
+        # combos real sensors never emit but files may carry: (0,0) — what the
+        # P3 tiles themselves store — plus r>n and the full 0..15 range; these
+        # walk every row/col of the 16x16 return-context tables
+        attrs["number_of_returns"] = rng.integers(0, 16, size=n).astype(np.uint8)
+        attrs["return_number"] = rng.integers(0, 16, size=n).astype(np.uint8)
+    elif multi:
         nret = rng.integers(1, 6, size=n).astype(np.uint8)
         attrs["number_of_returns"] = nret
         attrs["return_number"] = (rng.integers(0, 15, size=n) % nret + 1).astype(
@@ -34,7 +40,7 @@ def _cloud(n=20000, seed=0, multi=True):
     return xyz, attrs
 
 
-@pytest.mark.parametrize("multi", [False, True])
+@pytest.mark.parametrize("multi", [False, True, "degenerate"])
 @pytest.mark.parametrize("chunk_size", [777, 50000])
 def test_roundtrip_exact(tmp_path, multi, chunk_size):
     xyz, attrs = _cloud(multi=multi)
