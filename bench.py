@@ -63,8 +63,8 @@ def main() -> None:
         np.asarray(out[0])
 
     run_once()  # warmup + compile
-    iters = int(os.environ.get("BENCH_ITERS", 5))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     per_batch = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -108,6 +108,7 @@ def main() -> None:
                 "unit": "tiles/sec",
                 "vs_baseline": round(tiles_per_sec / baseline_tiles_per_sec, 2),
                 "spread_pct": round(spread_pct, 1),
+                "compute_dtype": "bfloat16",
             }
         )
     )

@@ -29,13 +29,25 @@ from _common import compose_from_argv  # noqa: F401 (sys.path side effect)
 
 import numpy as np
 
-# v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip; override for other chips.
-PEAK_FLOPS = float(os.environ.get("PEAK_TFLOPS", 197)) * 1e12
+# One compute-dtype policy across bench.py and bench_all.py: bf16 (the TPU
+# production inference/training dtype; params stay f32). Override with
+# BENCH_DTYPE=float32 to measure the f32 path — MFU is then computed against
+# the f32 peak so utilization numbers stay self-consistent (VERDICT r2 #3).
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# v5e (v5 lite) per-chip peaks; f32 runs the MXU at half rate.
+PEAK_BY_DTYPE = {"bfloat16": 197e12, "float32": 98.5e12}
+PEAK_FLOPS = (
+    float(os.environ["PEAK_TFLOPS"]) * 1e12
+    if os.environ.get("PEAK_TFLOPS")
+    else PEAK_BY_DTYPE.get(DTYPE, 197e12)
+)
 
 B = int(os.environ.get("BENCH_BATCH", 16))
 SUBSET = int(os.environ.get("BENCH_SUBSET", 32))
-REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-ITERS = int(os.environ.get("BENCH_ITERS", 5))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+# comma list of batch sizes for the pix2poly decode scaling study ("" = skip)
+P2P_BATCH_SCAN = os.environ.get("BENCH_P2P_BATCH_SCAN", "")
 
 EXPERIMENTS = {
     "pix2poly": "p2p_image",
@@ -94,6 +106,7 @@ def bench_family(name: str, experiment: str) -> dict:
         f"run_type.subset.train={max(SUBSET, B)}",
         f"run_type.subset.val={max(SUBSET, B)}",
         "run_type.log_to_wandb=false",
+        f"host.compute_dtype={DTYPE}",
     ] + [a for a in sys.argv[1:] if "=" in a]
     cfg = compose(overrides)
     ensure_synthetic_dataset(cfg)
@@ -167,6 +180,35 @@ def bench_family(name: str, experiment: str) -> dict:
             "predict_spread_pct": round(pred_spread, 1),
         }
     )
+    ckpt = cfg.get("checkpoint")
+    if ckpt:
+        row["checkpoint"] = str(ckpt)  # trained weights (trainer.maybe_resume)
+
+    # --- pix2poly decode batch-size scaling (latency-bound AR decode) -------
+    if name == "pix2poly" and P2P_BATCH_SCAN:
+        from pixelspointspolygons_tpu.models.pix2poly import greedy_generate
+
+        tok = trainer.tokenizer
+        model = trainer.model
+        gen = jax.jit(
+            lambda v, b: greedy_generate(
+                model, v, b, bos_code=tok.BOS_code, generation_steps=tok.max_len - 1
+            )
+        )
+        rng_np = np.random.RandomState(0)
+        S = int(cfg.experiment.encoder.in_size)
+        scan = {}
+        for bsz in [int(x) for x in P2P_BATCH_SCAN.split(",")]:
+            import jax.numpy as jnp
+
+            bb = {"images": jnp.asarray(rng_np.rand(bsz, S, S, 3).astype(np.float32))}
+            t, spread = timed(lambda: _sync(gen(variables, bb)[0]))
+            scan[str(bsz)] = {
+                "decode_s_per_batch": t,
+                "decode_tiles_per_s": bsz / t,
+                "spread_pct": round(spread, 1),
+            }
+        row["decode_batch_scan"] = scan
     return row
 
 
@@ -177,6 +219,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "batch": B,
+        "compute_dtype": DTYPE,
         "peak_tflops": PEAK_FLOPS / 1e12,
     }
     for name, experiment in EXPERIMENTS.items():
@@ -192,7 +235,11 @@ def main() -> None:
         try:
             with open(out) as f:
                 prev = json.load(f)
-            if prev.get("backend") == results["backend"] and prev.get("batch") == results["batch"]:
+            if (
+                prev.get("backend") == results["backend"]
+                and prev.get("batch") == results["batch"]
+                and prev.get("compute_dtype") == results["compute_dtype"]
+            ):
                 results = {**prev, **results}
         except Exception:
             pass
