@@ -78,10 +78,21 @@ def shard_batch(batch: Any, mesh: Mesh, compress_floats: bool = True) -> Any:
     sh = data_sharding(mesh)
     n_dev = int(np.prod(mesh.devices.shape))
 
+    multiproc = jax.process_count() > 1
+
     def put(key: str, x: Any) -> Any:
         arr = np.asarray(x)
         if compress_floats and arr.dtype == np.float32 and key in _F16_SAFE_KEYS:
             arr = arr.astype(np.float16)
+        if multiproc:
+            # each process holds its LOCAL slice (the loader shards per
+            # process); assemble the global array from local shards — the
+            # multi-host equivalent of device_put (which cannot address
+            # other processes' devices)
+            n_local = arr.shape[0] * jax.process_count() if arr.shape else 0
+            if arr.shape and n_local % n_dev == 0:
+                return jax.make_array_from_process_local_data(sh, arr)
+            return jax.make_array_from_process_local_data(replicated_sharding(mesh), arr)
         # single-tile / odd batches that don't divide the mesh fall back to
         # replication (e.g. predict_demo's batch of 1 on a multi-chip mesh)
         target = sh if arr.shape and arr.shape[0] % n_dev == 0 else replicated_sharding(mesh)
