@@ -222,4 +222,53 @@ def make_ffl_loss(cfg):
         total = sum(weights[k] * v for k, v in losses.items())
         return total, losses
 
+    normalize = bool(_cfg_get(m.loss.multi, "normalize", False))
+    if normalize:
+        # cfg-gated port of the reference's norm-normalization (reference
+        # models/ffl/losses.py:21-69: each term divided by a running mean of
+        # its own raw value; DDP sync()s the norms). The reference trains
+        # with normalize=False (trainer_ffl.py:140,165 — SURVEY §7.4), so
+        # this is off by default. Our variant updates the running norms once
+        # per epoch from the epoch-mean raw losses (the per-step host sync
+        # the reference does is a tunnel round trip here), and the norms are
+        # already global because epoch means come from the sharded step.
+        raw_loss_fn = loss_fn
+
+        def loss_fn(outputs, batch, weights, norms=None):
+            total_raw, losses = raw_loss_fn(outputs, batch, weights)
+            if norms is None:
+                return total_raw, losses
+            normed = {k: v / jnp.maximum(norms.get(k, 1.0), 1e-9) for k, v in losses.items()}
+            total = sum(weights[k] * v for k, v in normed.items())
+            # report RAW losses (comparable across epochs); optimize normed
+            return total, losses
+
     return loss_fn, weights_for_epoch
+
+
+def _cfg_get(node, name, default):
+    try:
+        v = node.get(name) if hasattr(node, "get") else getattr(node, name)
+    except Exception:
+        return default
+    return default if v is None else v
+
+
+class LossNormTracker:
+    """Running per-term norm means (reference Loss.norm_meter with init_val=1,
+    lydorn_utils/math_utils.py AverageMeter): update(epoch_mean_losses) after
+    each epoch; norms() feeds the jitted loss."""
+
+    def __init__(self):
+        self.sums: dict = {}
+        self.counts: dict = {}
+
+    def update(self, losses: dict) -> None:
+        for k, v in losses.items():
+            self.sums[k] = self.sums.get(k, 1.0) + float(v)  # init_val=1 seed
+            self.counts[k] = self.counts.get(k, 1) + 1
+
+    def norms(self) -> dict:
+        import jax.numpy as jnp  # local: host may import losses without jax configured
+
+        return {k: jnp.float32(self.sums[k] / self.counts[k]) for k in self.sums}

@@ -13,9 +13,12 @@ def _inputs(batch: dict) -> dict:
     return {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
 
 
-def make_train_step(model, loss_fn_raw):
+def make_train_step(model, loss_fn_raw, normalize: bool = False):
+    """normalize=True threads per-term running norms (a dict of scalars) into
+    the loss (cfg-gated reference norm-normalization, losses.py:21-69)."""
+
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, weights):
+    def train_step(state, batch, weights, norms=None):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
@@ -23,7 +26,10 @@ def make_train_step(model, loss_fn_raw):
             outputs, mut = model.apply(
                 variables, _inputs(batch), train=True, mutable=["batch_stats"]
             )
-            total, losses = loss_fn_raw(outputs, batch, weights)
+            if normalize:
+                total, losses = loss_fn_raw(outputs, batch, weights, norms)
+            else:
+                total, losses = loss_fn_raw(outputs, batch, weights)
             return total, (mut.get("batch_stats"), losses)
 
         (loss, (bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

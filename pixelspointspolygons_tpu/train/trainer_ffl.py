@@ -65,7 +65,12 @@ class FFLTrainer(Trainer):
 
         from .ffl_step import make_train_step, make_val_step
 
-        self._train_step = make_train_step(model, loss_fn_raw)
+        self._normalize = bool(m.loss.multi.get("normalize") or False)
+        if self._normalize:
+            from ..models.ffl.losses import LossNormTracker
+
+            self._norm_tracker = LossNormTracker()
+        self._train_step = make_train_step(model, loss_fn_raw, normalize=self._normalize)
         self._val_step = make_val_step(model, loss_fn_raw)
 
         from ..predict.predictor_ffl import FFLPredictor
@@ -92,10 +97,20 @@ class FFLTrainer(Trainer):
         weights = self._epoch_weights(epoch)
         records = []
         filtered = ({k: v for k, v in b.items() if k in FFL_BATCH_KEYS} for b in self.train_loader)
+        norms = self._norm_tracker.norms() if self._normalize else None
         for batch in device_prefetch(filtered, self.mesh):
-            self.state, metrics = self._train_step(self.state, batch, weights)
+            if self._normalize:
+                self.state, metrics = self._train_step(self.state, batch, weights, norms)
+            else:
+                self.state, metrics = self._train_step(self.state, batch, weights)
             records.append(metrics)
-        return self.summarize_deferred(records)
+        summary = self.summarize_deferred(records)
+        if self._normalize:
+            # per-epoch norm update from the epoch-mean RAW losses (reference
+            # updates per batch + DDP-syncs; per-step host syncs are a tunnel
+            # round trip here — epoch means are already global)
+            self._norm_tracker.update({k: v for k, v in summary.items() if k != "loss"})
+        return summary
 
     def val_one_epoch(self, epoch: int) -> dict:
         weights = self._epoch_weights(epoch)
