@@ -40,9 +40,15 @@ from .ffl_polygonize import (
     ring_area,
 )
 
-N_MAX = 16384  # skeleton nodes per batch
-P_MAX = 1024  # paths per batch
-V_MAX = 256  # vertices per path
+MAX_NODES = 65536  # hard cap on skeleton nodes per device batch (drops logged)
+MIN_BUCKET = 1024  # smallest padded flat size (keeps recompiles bounded)
+
+
+def _bucket(n: int) -> int:
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
 
 
 # --------------------------------------------------------------------------
@@ -226,43 +232,57 @@ def edge_probability_map(
 
 
 def pack_skeletons(per_sample: list[tuple[np.ndarray, list[list[int]]]]):
-    pos = np.zeros((N_MAX, 2), np.float32)
-    node_batch = np.zeros((N_MAX,), np.int32)
-    pinned = np.zeros((N_MAX,), bool)
-    path_idx = np.zeros((P_MAX, V_MAX), np.int32)
-    vmask = np.zeros((P_MAX, V_MAX), bool)
+    """Flat bucketized packing (same redesign as the ACM path): shared nodes
+    in one (N, 2) array, path edges as explicit flat (edge_a, edge_b) index
+    pairs (TensorSkeleton's CSR paths, tensorskeleton.py:44-192, re-expressed
+    as gathers). Returns (pos, node_batch, node_valid, pinned, edge_a,
+    edge_b, edge_valid, paths_meta [(global node-idx list, batch)], dropped).
+    N and E are padded to power-of-two buckets — the old fixed
+    16384-node / 1024×256-path pad did ~20× excess work per step."""
+    chunks, metas, dropped = [], [], 0
     n_nodes = 0
-    n_paths = 0
-    dropped = 0
+    pinned_chunks = []
     for b, (nodes, paths) in enumerate(per_sample):
-        if n_nodes + len(nodes) > N_MAX:
+        if n_nodes + len(nodes) > MAX_NODES:
             dropped += len(paths)
             continue
         base = n_nodes
-        pos[base : base + len(nodes)] = nodes
-        node_batch[base : base + len(nodes)] = b
-        # degree-1 endpoints are pinned (tips)
         counts = np.zeros(len(nodes), int)
         for p in paths:
             counts[p[0]] += 1
             counts[p[-1]] += 1
             for q in p[1:-1]:
                 counts[q] += 2
-        for p in paths:
-            if n_paths >= P_MAX:
-                dropped += 1
-                continue
-            idx = p
-            if len(idx) > V_MAX:
-                sel = np.unique(np.linspace(0, len(idx) - 1, V_MAX).astype(int))
-                idx = [idx[i] for i in sel]
-            path_idx[n_paths, : len(idx)] = np.asarray(idx) + base
-            vmask[n_paths, : len(idx)] = True
-            n_paths += 1
-        tip = counts == 1
-        pinned[base : base + len(nodes)] = tip
+            metas.append(([i + base for i in p], b))
+        chunks.append((np.asarray(nodes, np.float32), b))
+        pinned_chunks.append(counts == 1)  # degree-1 tips pinned
         n_nodes += len(nodes)
-    return pos, node_batch, pinned, path_idx, vmask, n_paths, dropped
+
+    N = _bucket(max(n_nodes, 1))
+    pos = np.zeros((N, 2), np.float32)
+    node_batch = np.zeros((N,), np.int32)
+    node_valid = np.zeros((N,), bool)
+    pinned = np.zeros((N,), bool)
+    off = 0
+    for (nodes, b), tips in zip(chunks, pinned_chunks):
+        pos[off : off + len(nodes)] = nodes
+        node_batch[off : off + len(nodes)] = b
+        node_valid[off : off + len(nodes)] = True
+        pinned[off : off + len(nodes)] = tips
+        off += len(nodes)
+
+    ea, eb = [], []
+    for idx, _b in metas:
+        ea.extend(idx[:-1])
+        eb.extend(idx[1:])
+    E = _bucket(max(len(ea), 1))
+    edge_a = np.zeros((E,), np.int32)
+    edge_b = np.zeros((E,), np.int32)
+    edge_valid = np.zeros((E,), bool)
+    edge_a[: len(ea)] = ea
+    edge_b[: len(eb)] = eb
+    edge_valid[: len(ea)] = True
+    return pos, node_batch, node_valid, pinned, edge_a, edge_b, edge_valid, metas, dropped
 
 
 # --------------------------------------------------------------------------
@@ -270,18 +290,18 @@ def pack_skeletons(per_sample: list[tuple[np.ndarray, list[list[int]]]]):
 # --------------------------------------------------------------------------
 
 
-def _asm_loss(pos, path_idx, vmask, node_batch, indicator, c0c2, coefs):
+def _asm_loss(pos, edge_a, edge_b, edge_valid, node_batch, node_valid, indicator, c0c2, coefs):
     H, W = indicator.shape[1], indicator.shape[2]
-    p = pos[path_idx]  # (P, V, 2)
-    edge_valid = vmask[:, 1:] & vmask[:, :-1]
-    tangents = p[:, 1:] - p[:, :-1]
+    pa = pos[edge_a]  # (E, 2)
+    pb = pos[edge_b]
+    tangents = pb - pa
     norms = jnp.sqrt(jnp.sum(tangents * tangents, axis=-1) + 1e-12)  # safe at 0 (padded edges)
     emask = (edge_valid & (norms > 0.1)).astype(jnp.float32)
 
-    mid = (p[:, 1:] + p[:, :-1]) / 2
+    mid = (pa + pb) / 2
     mi = jnp.clip(jnp.round(mid[..., 0]).astype(jnp.int32), 0, H - 1)
     mj = jnp.clip(jnp.round(mid[..., 1]).astype(jnp.int32), 0, W - 1)
-    bidx = node_batch[path_idx][:, :-1]
+    bidx = node_batch[edge_a]
     cf = c0c2[bidx, :, mi, mj]
     c0 = jax.lax.complex(cf[..., 0], cf[..., 1])
     c2 = jax.lax.complex(cf[..., 2], cf[..., 3])
@@ -290,7 +310,7 @@ def _asm_loss(pos, path_idx, vmask, node_batch, indicator, c0c2, coefs):
     align_loss = (framefield_align_error(c0, c2, z) * emask).sum()
 
     vals = bilinear_interpolate(indicator[:, None], pos, node_batch)[:, 0]
-    level_loss = ((vals - coefs["data_level"]) ** 2).sum()
+    level_loss = (((vals - coefs["data_level"]) ** 2) * node_valid).sum()
 
     length_loss = ((norms * emask) ** 2).sum()
 
@@ -305,9 +325,11 @@ def _asm_loss(pos, path_idx, vmask, node_batch, indicator, c0c2, coefs):
 def asm_optimize(
     pos,
     node_batch,
+    node_valid,
     pinned,
-    path_idx,
-    vmask,
+    edge_a,
+    edge_b,
+    edge_valid,
     indicator,
     c0c2,
     step_thresholds,
@@ -334,7 +356,9 @@ def asm_optimize(
             "data_level": data_level,
         }
         g = jax.grad(
-            lambda q: _asm_loss(q, path_idx, vmask, node_batch, indicator, c0c2, coefs)
+            lambda q: _asm_loss(
+                q, edge_a, edge_b, edge_valid, node_batch, node_valid, indicator, c0c2, coefs
+            )
         )(p)
         v = 0.99 * v + 0.01 * g * g
         step_lr = lr * gamma ** it.astype(jnp.float32)
@@ -449,7 +473,9 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
             )
         per_sample.append((nodes, paths))
 
-    pos, node_batch, pinned, path_idx, vmask, n_paths, dropped = pack_skeletons(per_sample)
+    pos, node_batch, node_valid, pinned, edge_a, edge_b, edge_valid, paths_meta, dropped = (
+        pack_skeletons(per_sample)
+    )
     if dropped:
         import logging
 
@@ -458,13 +484,15 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
     coefs = mc.loss_params.coefs
     thresholds = np.asarray([float(t) for t in coefs.step_thresholds], np.float32)
     steps = int(thresholds[-1])
-    if n_paths > 0:
+    if paths_meta:
         pos_opt = asm_optimize(
             jnp.asarray(pos),
             jnp.asarray(node_batch),
+            jnp.asarray(node_valid),
             jnp.asarray(pinned),
-            jnp.asarray(path_idx),
-            jnp.asarray(vmask),
+            jnp.asarray(edge_a),
+            jnp.asarray(edge_b),
+            jnp.asarray(edge_valid),
             jnp.asarray(seg[:, 0]),
             jnp.asarray(crossfield),
             jnp.asarray(thresholds),
@@ -485,9 +513,8 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
         for b in range(B):
             # collect this sample's simplified polylines
             polylines = []
-            for pi in range(n_paths):
-                first = path_idx[pi][vmask[pi]]
-                if len(first) < 2 or node_batch[first[0]] != b:
+            for first, pb in paths_meta:
+                if len(first) < 2 or pb != b:
                     continue
                 pts = pos[first]
                 if b not in uv_cache:
