@@ -41,13 +41,16 @@ from .ffl_polygonize import (
 )
 
 MAX_NODES = 65536  # hard cap on skeleton nodes per device batch (drops logged)
-MIN_BUCKET = 1024  # smallest padded flat size (keeps recompiles bounded)
+# coarse buckets (min 4096, ×4 growth → at most 3 jit shapes): each extra
+# shape costs a 1-5 min compile on the axon remote-compile tunnel
+MIN_BUCKET = 4096
+BUCKET_GROWTH = 4
 
 
 def _bucket(n: int) -> int:
     b = MIN_BUCKET
     while b < n:
-        b *= 2
+        b *= BUCKET_GROWTH
     return b
 
 

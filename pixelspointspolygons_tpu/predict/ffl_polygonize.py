@@ -5,11 +5,10 @@ TPU-first redesign of the reference engine (predict/ffl/polygonize.py:10-88
 dispatcher, polygonize_acm.py:77-431 ACM, polygonize_simple.py:61-160,
 polygonize_utils.py, frame_field_utils.detect_corners :71-114):
 
-- Contours are initialized on host (cv2 boundary tracing at the 0.5 level;
-  the reference uses skimage subpixel marching squares — the ACM data term
-  pulls vertices onto the exact level set either way) and packed into ONE
-  fixed-shape padded batch (P_max rings × V_max vertices) for the whole
-  mini-batch, instead of the reference's flat concat per batch.
+- Contours are initialized on host (native subpixel marching squares with a
+  cv2 fallback) and packed into ONE flat TensorPoly-style concat for the
+  whole mini-batch, padded to a coarse bucket of the total vertex count
+  ({4096, 16384, 65536} ladder — bounded jit shapes, no per-ring padding).
 - The 500-step SGD-with-warmup loop (TensorPolyOptimizer,
   polygonize_acm.py:162-220) becomes a single `lax.scan` with `jax.grad` of
   the PolygonAlignLoss equivalent (align-at-edge-midpoint via integer
@@ -33,7 +32,11 @@ from ..ops.bilinear import bilinear_interpolate
 from ..ops.crossfield import framefield_align_error
 
 MAX_TOTAL_VERTS = 65536  # hard cap across a device batch (logged when hit)
-MIN_BUCKET = 1024  # smallest padded flat size (keeps recompiles bounded)
+# smallest padded flat size and ×4 growth: at most 3 distinct jit shapes
+# (4096/16384/65536) — each extra shape is a 1-5 min compile on the axon
+# remote-compile tunnel, so coarse buckets beat tight padding
+MIN_BUCKET = 4096
+BUCKET_GROWTH = 4
 V_MAX = 4096  # per-ring decimation cap (a 224px tile perimeter is ~900)
 
 
@@ -90,12 +93,13 @@ def _decimate(ring: np.ndarray, max_len: int) -> np.ndarray:
 
 
 def _bucket(n: int) -> int:
-    """Next power-of-two padded size ≥ n (≥ MIN_BUCKET) — a handful of jit
-    shapes instead of one 256×1024 worst-case pad (16-20× less ACM compute
-    on typical batches; the old fixed pad was the 1.2 tiles/s bottleneck)."""
+    """Next padded size ≥ n in the {4096, 16384, 65536} ladder — a couple of
+    jit shapes instead of one 256×1024 worst-case pad (16-20× less ACM
+    compute on typical batches; the old fixed pad was the 1.2 tiles/s
+    bottleneck)."""
     b = MIN_BUCKET
     while b < n:
-        b *= 2
+        b *= BUCKET_GROWTH
     return b
 
 
