@@ -48,7 +48,10 @@ def encoder_config(cfg) -> dict:
     if name == "hrnet":
         return {"name": "hrnet", "in_size": int(enc.in_size)}
     if name == "fusion_hrnet":
-        return {"name": "fusion_hrnet", "in_size": int(enc.in_size), **lidar_kw}
+        # FusionHRNetEncoder derives the pillar world extent from in_size and
+        # uses `width` for the HRNet channel width — pass only voxel params
+        pillar_kw = {k: v for k, v in lidar_kw.items() if k not in ("width", "height")}
+        return {"name": "fusion_hrnet", "in_size": int(enc.in_size), **pillar_kw}
     raise NotImplementedError(f"encoder {name!r} for hisup")
 
 

@@ -33,7 +33,7 @@ import numpy as np
 from ..ops.bilinear import bilinear_interpolate
 from ..ops.crossfield import framefield_align_error
 from .ffl_polygonize import (
-    c0c2_to_uv_numpy,
+    c0c2_to_uv_lazy,
     detect_corners,
     douglas_peucker,
     mean_prob_in_ring,
@@ -521,7 +521,7 @@ def asm_polygonize(poly_cfg, seg: np.ndarray, crossfield: np.ndarray) -> dict:
                     continue
                 pts = pos[first]
                 if b not in uv_cache:
-                    uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
+                    uv_cache[b] = c0c2_to_uv_lazy(crossfield[b])
                 u, v = uv_cache[b]
                 closed = len(first) > 2 and first[0] == first[-1]
                 if closed:

@@ -452,6 +452,38 @@ def c0c2_to_uv_numpy(c0c2: np.ndarray):
     return np.sqrt(u2), np.sqrt(v2)
 
 
+class _LazyUVMap:
+    """Behaves like one of the (H, W) complex u/v maps for the fancy-indexed
+    reads corner detection performs (`u[ij[:,0], ij[:,1]]`, `.shape`), but
+    extracts crossfield roots only at the requested pixels — full-image root
+    extraction cost ~33 ms/tile of pure waste when only ring vertices are
+    ever sampled."""
+
+    __slots__ = ("c0c2", "which")
+
+    def __init__(self, c0c2: np.ndarray, which: int):
+        self.c0c2 = c0c2
+        self.which = which
+
+    @property
+    def shape(self):
+        return self.c0c2.shape[1:]
+
+    def __getitem__(self, idx):
+        i, j = idx
+        s = self.c0c2[:, i, j]
+        c0 = s[0] + 1j * s[1]
+        c2 = s[2] + 1j * s[3]
+        disc = np.sqrt(c2**2 - 4 * c0 + 0j)
+        root2 = -(c2 + disc) / 2 if self.which == 0 else -(c2 - disc) / 2
+        return np.sqrt(root2)
+
+
+def c0c2_to_uv_lazy(c0c2: np.ndarray):
+    """Point-wise-evaluated (u, v) pair, drop-in for detect_corners."""
+    return _LazyUVMap(c0c2, 0), _LazyUVMap(c0c2, 1)
+
+
 # --------------------------------------------------------------------------
 # the engine
 # --------------------------------------------------------------------------
@@ -559,7 +591,7 @@ class Polygonizer:
             for start, n, b, closed in rings_meta:
                 ring = pos[start : start + n]
                 if b not in uv_cache:
-                    uv_cache[b] = c0c2_to_uv_numpy(crossfield[b])
+                    uv_cache[b] = c0c2_to_uv_lazy(crossfield[b])
                 u, v = uv_cache[b]
                 if closed:
                     if len(ring) < 3:
