@@ -11,6 +11,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import build_loader
@@ -35,7 +36,11 @@ class FFLPredictor(Predictor):
 
         @jax.jit
         def forward(variables, batch):
-            return self.model.apply(variables, batch, train=False)
+            out = self.model.apply(variables, batch, train=False)
+            # ship seg/crossfield to host as f16: halves the device→host
+            # transfer (the axon tunnel moves ~MB/s under load and the
+            # polygonizer's precision floor is ~1e-3 px, far above f16 ulp)
+            return {k: v.astype(jnp.float16) for k, v in out.items()}
 
         self._forward = forward
 

@@ -10,6 +10,7 @@ import time
 
 import cv2
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import build_loader
@@ -42,7 +43,9 @@ class HiSupPredictor(Predictor):
             joff = jax.nn.sigmoid(out["joff"]) - 0.5
             remask = jax.nn.softmax(out["remask"], axis=1)[:, 1]
             juncs, scores = extract_junctions(jloc_sm, joff, topk=topk, th=th)
-            return remask, juncs, scores
+            # f16 host shipping: remask is a probability map (precision floor
+            # ~1e-3), juncs stay f32 (sub-pixel coordinates)
+            return remask.astype(jnp.float16), juncs, scores
 
         self._forward = forward
 
