@@ -86,17 +86,25 @@ def main() -> None:
     tgt = jnp.full((B, steps), tokenizer.PAD_code, jnp.int32).at[:, 0].set(tokenizer.BOS_code)
     np.asarray(dec_fn(variables, enc, tgt)[0][..., 0])  # compile
     # time a slice of steps and extrapolate (the per-step cost is constant:
-    # the reference always pads tgt to full length)
-    probe = min(32, steps)
-    t0 = time.perf_counter()
-    for i in range(probe):
-        logits, _ = dec_fn(variables, enc, tgt)
-        nxt = np.argmax(np.asarray(logits[:, i]), axis=-1).astype(np.int32)
-        tgt = tgt.at[:, min(i + 1, steps - 1)].set(jnp.asarray(nxt))
-    step_t = (time.perf_counter() - t0) / probe
-    t0 = time.perf_counter()
-    np.asarray(enc_fn(variables, batch)[..., 0])
-    enc_t = time.perf_counter() - t0
+    # the reference always pads tgt to full length). Median of 3 probes —
+    # the extrapolation amplifies probe noise ~12×, which made vs_baseline
+    # drift between driver rounds.
+    probe = min(16, steps)
+    probe_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(probe):
+            logits, _ = dec_fn(variables, enc, tgt)
+            nxt = np.argmax(np.asarray(logits[:, i]), axis=-1).astype(np.int32)
+            tgt = tgt.at[:, min(i + 1, steps - 1)].set(jnp.asarray(nxt))
+        probe_ts.append((time.perf_counter() - t0) / probe)
+    step_t = sorted(probe_ts)[1]
+    enc_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(enc_fn(variables, batch)[..., 0])
+        enc_ts.append(time.perf_counter() - t0)
+    enc_t = sorted(enc_ts)[1]
     baseline_dt = enc_t + step_t * steps
     baseline_tiles_per_sec = B / baseline_dt
 
