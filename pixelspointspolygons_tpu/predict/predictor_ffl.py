@@ -115,12 +115,17 @@ class FFLPredictor(Predictor):
         self.logger.info(f"prediction: {dt:.4f} [s/image] over {n_images} images")
 
         pred_file = self.cfg.evaluation.pred_file
-        canonical = None
         for key, anns in predictions.items():
-            path = pred_file.replace(".json", f"_{key}.json")
-            save_annotations(anns, path)
-            if canonical is None or key.startswith("acm."):
-                canonical = anns
+            save_annotations(anns, pred_file.replace(".json", f"_{key}.json"))
+        # canonical copy: acm.tol_<eval_tolerance> (reference hardcodes
+        # acm.tol_1, predictor_ffl.py:74-79; the tolerance operating point is
+        # a config knob here — see config/polygonization/asm_acm.yaml)
+        ev_tol = self.cfg.experiment.polygonization.acm_method.get("eval_tolerance", 1)
+        want = f"acm.tol_{ev_tol}"
+        canonical = predictions.get(want)
+        if canonical is None:
+            acm_keys = [k for k in predictions if k.startswith("acm.")]
+            canonical = predictions[acm_keys[0]] if acm_keys else next(iter(predictions.values()), [])
         save_annotations(canonical or [], pred_file)
         with open(pred_file.replace(".json", "_time.json"), "w") as f:
             json.dump({"prediction_time": dt, "num_images": n_images}, f)

@@ -125,11 +125,13 @@ class FFLTrainer(Trainer):
         if self.state.batch_stats is not None:
             variables["batch_stats"] = self.state.batch_stats
         predictions: list[dict] = []
+        ev_tol = self.cfg.experiment.polygonization.acm_method.get("eval_tolerance", 1)
         for batch in self.val_loader:
             results = self._predictor.predict_batch(variables, batch)
-            method = next(iter(results))
-            tol = next(iter(results[method]))
-            for b, polys in enumerate(results[method][tol]):
+            method = "acm" if "acm" in results else next(iter(results))
+            tols = results[method]
+            tol = f"tol_{ev_tol}" if f"tol_{ev_tol}" in tols else next(iter(tols))
+            for b, polys in enumerate(tols[tol]):
                 if not batch["sample_valid"][b]:
                     continue
                 predictions.extend(generate_coco_ann(polys, int(batch["image_id"][b])))
