@@ -103,8 +103,8 @@ def bench_family(name: str, experiment: str) -> dict:
         "dataset=synthetic",
         "run_type=debug",
         f"run_type.batch_size={B}",
-        f"run_type.subset.train={max(SUBSET, B)}",
-        f"run_type.subset.val={max(SUBSET, B)}",
+        f"run_type.train_subset={max(SUBSET, B)}",
+        f"run_type.val_subset={max(SUBSET, B)}",
         "run_type.log_to_wandb=false",
         f"host.compute_dtype={DTYPE}",
     ] + [a for a in sys.argv[1:] if "=" in a]
