@@ -63,7 +63,7 @@ def main() -> None:
         np.asarray(out[0])
 
     run_once()  # warmup + compile
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
     per_batch = []
     for _ in range(repeats):
