@@ -73,7 +73,11 @@ def main() -> None:
         per_batch.append((time.perf_counter() - t0) / iters)
     per_batch.sort()
     dt = per_batch[len(per_batch) // 2]  # median over repeats
-    spread_pct = 100.0 * (per_batch[-1] - per_batch[0]) / dt
+    # trimmed spread (middle 3 of 5 repeats): a single tunnel hiccup in one
+    # repeat otherwise dominates max-min even though the reported value is
+    # the median and unaffected
+    trimmed = per_batch[1:-1] if len(per_batch) >= 3 else per_batch
+    spread_pct = 100.0 * (trimmed[-1] - trimmed[0]) / dt
     tiles_per_sec = B / dt
 
     # --- reference-algorithm baseline: full re-forward per generated token ---
