@@ -37,6 +37,32 @@ MAX_JUNCTIONS = 256
 MAX_EDGES = 256
 
 
+def build_perm_targets(polys: list[np.ndarray], nmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pix2Poly GT: concatenated corners (≤ nmax, 2) + (nmax, nmax) cyclic
+    successor permutation with identity-diag padding and the open-contour fix
+    (reference datasets/p3_coco.py:340-436, 409-414). Shared by the host
+    loader and the device-cache builder so the two paths cannot drift."""
+    corners: list = []
+    perm = np.zeros((nmax, nmax), np.float32)
+    v_count = 0
+    for p in polys:
+        corners.extend(p.tolist())
+        n = len(p)
+        for i in range(n):
+            j = (i + 1) % n
+            if v_count + i > nmax - 1 or v_count + j > nmax - 1:
+                break
+            perm[v_count + i, v_count + j] = 1.0
+        v_count += n
+    for i in range(min(v_count, nmax), nmax):
+        perm[i, i] = 1.0
+    # open-contour fix (p3_coco.py:409-414)
+    for i in range(nmax):
+        if perm[i].sum() == 0 or perm[:, i].sum() == 0:
+            perm[i, i] = 1.0
+    return np.asarray(corners, np.float64).reshape(-1, 2)[:nmax], perm
+
+
 def load_image_file(path: str) -> np.ndarray:
     """(H, W, 3) uint8 RGB."""
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -227,26 +253,7 @@ class P3Dataset:
 
         polys = self._polygons(info)
         nmax = self.tokenizer.max_num_vertices
-        corners = []
-        perm = np.zeros((nmax, nmax), np.float32)
-        v_count = 0
-        for p in polys:
-            corners.extend(p.tolist())
-            n = len(p)
-            for i in range(n):
-                j = (i + 1) % n
-                if v_count + i > nmax - 1 or v_count + j > nmax - 1:
-                    break
-                perm[v_count + i, v_count + j] = 1.0
-            v_count += n
-        for i in range(min(v_count, nmax), nmax):
-            perm[i, i] = 1.0
-        # open-contour fix (p3_coco.py:409-414)
-        for i in range(nmax):
-            if perm[i].sum() == 0 or perm[:, i].sum() == 0:
-                perm[i, i] = 1.0
-
-        corners = np.asarray(corners, np.float64).reshape(-1, 2)[:nmax]
+        corners, perm = build_perm_targets(polys, nmax)
         if len(corners) and params["d4"] != "e":
             corners = augment.apply_d4_keypoints(corners, params["d4"], info["height"], info["width"])
         # tokenizer consumes (y, x)

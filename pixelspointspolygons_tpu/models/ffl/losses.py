@@ -259,13 +259,18 @@ class LossNormTracker:
     lydorn_utils/math_utils.py AverageMeter): update(epoch_mean_losses) after
     each epoch; norms() feeds the jitted loss."""
 
-    def __init__(self):
-        self.sums: dict = {}
-        self.counts: dict = {}
+    def __init__(self, term_keys=()):
+        # seed every active term up front so norms() has a stable pytree
+        # structure from epoch 0 — an empty→populated dict would retrace the
+        # jitted train step (a 1-5 min recompile through the remote tunnel)
+        self.sums: dict = {k: 1.0 for k in term_keys}  # init_val=1 seed
+        self.counts: dict = {k: 1 for k in term_keys}
 
     def update(self, losses: dict) -> None:
         for k, v in losses.items():
-            self.sums[k] = self.sums.get(k, 1.0) + float(v)  # init_val=1 seed
+            if self.counts and k not in self.counts:
+                continue  # non-term metrics in the epoch summary
+            self.sums[k] = self.sums.get(k, 1.0) + float(v)
             self.counts[k] = self.counts.get(k, 1) + 1
 
     def norms(self) -> dict:

@@ -92,7 +92,19 @@ def shard_batch(batch: Any, mesh: Mesh, compress_floats: bool = True) -> Any:
             n_local = arr.shape[0] * jax.process_count() if arr.shape else 0
             if arr.shape and n_local % n_dev == 0:
                 return jax.make_array_from_process_local_data(sh, arr)
-            return jax.make_array_from_process_local_data(replicated_sharding(mesh), arr)
+            if not arr.shape:
+                # scalars are identical on every process (epoch counters etc.)
+                return jax.make_array_from_process_local_data(replicated_sharding(mesh), arr)
+            # A replicated sharding with per-process-DIFFERENT local data is
+            # undefined under multi-controller SPMD (each process would claim
+            # its own slice is "the" replicated value). The loader wrap-pads
+            # every shard to a common divisible size, so this is a bug, not a
+            # normal path — fail loudly instead of corrupting silently.
+            raise ValueError(
+                f"multi-process batch leaf {key!r} has local leading dim "
+                f"{arr.shape[0]} (global {n_local}) not divisible by mesh size "
+                f"{n_dev}; the loader must wrap-pad shards to a divisible size"
+            )
         # single-tile / odd batches that don't divide the mesh fall back to
         # replication (e.g. predict_demo's batch of 1 on a multi-chip mesh)
         target = sh if arr.shape and arr.shape[0] % n_dev == 0 else replicated_sharding(mesh)

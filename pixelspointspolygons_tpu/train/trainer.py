@@ -72,6 +72,7 @@ class Trainer:
     def maybe_resume(self) -> None:
         name = self.cfg.get("checkpoint")
         if not name:
+            self._maybe_warm_start()
             return
         payload = self.manager.restore(name, state_template=self.state)
         self.manager.check_modality_compat(payload.get("cfg"), self.cfg)
@@ -85,6 +86,38 @@ class Trainer:
         self.best["val_loss"] = float(payload.get("best_val_loss", self.best["val_loss"]))
         self.best["val_iou"] = float(payload.get("best_val_iou", self.best["val_iou"]))
         self.logger.info(f"resumed from {name!r} at epoch {self.start_epoch}")
+
+    def _maybe_warm_start(self) -> None:
+        """Weights-only initialization from a prior run's orbax checkpoint
+        (`init_weights_from=<ckpt dir>`): params/batch_stats are grafted via
+        the fuzzy suffix matcher (cross-modality warm starts keep init where
+        shapes differ, e.g. the P2P decoder transfers image→lidar), the
+        optimizer/schedule/epoch restart fresh. The in-env substitute for the
+        reference's pretrained-encoder downloads (misc/shared_utils.py
+        smart_load_state_dict used the same way)."""
+        src = self.cfg.get("init_weights_from")
+        if not src:
+            return
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from ..utils.checkpoint import smart_restore_params
+
+        path = os.path.abspath(str(src))
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"init_weights_from checkpoint not found: {path}")
+        payload = ocp.StandardCheckpointer().restore(path)
+        params = smart_restore_params(
+            jax.device_get(self.state.params), payload.get("params", {}), self.logger
+        )
+        updates = {"params": params}
+        if self.state.batch_stats is not None and payload.get("batch_stats") is not None:
+            updates["batch_stats"] = smart_restore_params(
+                jax.device_get(self.state.batch_stats), payload["batch_stats"], self.logger
+            )
+        self.state = self.state.replace(**updates)
+        self.logger.info(f"warm-started weights from {path} (fresh optimizer)")
 
     def shard(self, batch: dict) -> dict:
         return shard_batch(batch, self.mesh)

@@ -69,7 +69,7 @@ class FFLTrainer(Trainer):
         if self._normalize:
             from ..models.ffl.losses import LossNormTracker
 
-            self._norm_tracker = LossNormTracker()
+            self._norm_tracker = LossNormTracker(self._weights_for_epoch(0).keys())
         self._train_step = make_train_step(model, loss_fn_raw, normalize=self._normalize)
         self._val_step = make_val_step(model, loss_fn_raw)
 

@@ -25,6 +25,11 @@ from .state import create_train_state, linear_warmup_decay, make_optimizer, num_
 from .trainer import Trainer
 
 
+# device-resident batch leaves the jitted steps consume (sample_valid /
+# image_id stay host-side)
+_DEV_KEYS = ("images", "lidar", "lidar_mask", "y", "y_perm")
+
+
 class Pix2PolyTrainer(Trainer):
     def setup(self) -> None:
         cfg = self.cfg
@@ -36,8 +41,28 @@ class Pix2PolyTrainer(Trainer):
         self.train_loader = build_loader(cfg, "train", tokenizer=self.tokenizer)
         self.val_loader = build_loader(cfg, "val", tokenizer=self.tokenizer)
 
+        # device-resident dataset fast path (single-chip): upload the split
+        # once, gather+augment on device — the tunnel's ~1 s/batch host→device
+        # cost drops to index scalars (data/device_cache.py)
+        self.cache = None
+        dc = str(cfg.training.get("device_cache") or "false").lower()
+        if dc in ("auto", "true", "1"):
+            from ..data.device_cache import P2PDeviceCache
+
+            try:
+                self.cache = {
+                    "train": P2PDeviceCache(cfg, "train", self.tokenizer, self.mesh),
+                    "val": P2PDeviceCache(cfg, "val", self.tokenizer, self.mesh),
+                }
+            except (NotImplementedError, ValueError) as e:
+                if dc != "auto":
+                    raise
+                self.logger.info(f"device cache unavailable ({e}); host loader")
+
         m = cfg.experiment.model
-        steps_per_epoch = len(self.train_loader)
+        steps_per_epoch = (
+            len(self.cache["train"]) if self.cache else len(self.train_loader)
+        )
         total_steps = steps_per_epoch * int(m.num_epochs)
         schedule = linear_warmup_decay(float(m.learning_rate), total_steps, 0.05)
         tx = make_optimizer("adamw", schedule, weight_decay=float(m.weight_decay), b2=0.95)
@@ -85,8 +110,15 @@ class Pix2PolyTrainer(Trainer):
         )
 
     def train_one_epoch(self, epoch: int) -> dict:
-        self.train_loader.set_epoch(epoch)
         records = []
+        if self.cache:
+            for step, batch in enumerate(self.cache["train"].epoch_batches(epoch)):
+                step_rng = jax.random.fold_in(self.rng, epoch * 100003 + step)
+                dev_batch = {k: batch[k] for k in _DEV_KEYS if k in batch}
+                self.state, metrics = self._train_step(self.state, dev_batch, step_rng)
+                records.append(metrics)
+            return self.summarize_deferred(records)
+        self.train_loader.set_epoch(epoch)
         step = 0
         for batch in device_prefetch(self.train_loader, self.mesh):
             step_rng = jax.random.fold_in(self.rng, epoch * 100003 + step)
@@ -97,6 +129,11 @@ class Pix2PolyTrainer(Trainer):
 
     def val_one_epoch(self, epoch: int) -> dict:
         records = []
+        if self.cache:
+            for batch in self.cache["val"].epoch_batches(epoch):
+                dev_batch = {k: batch[k] for k in _DEV_KEYS if k in batch}
+                records.append(self._val_step(self.state, dev_batch))
+            return self.summarize_deferred(records)
         for batch in self.val_loader:
             records.append(self._val_step(self.state, self.shard(batch)))
         return self.summarize_deferred(records)

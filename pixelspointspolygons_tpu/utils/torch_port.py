@@ -49,8 +49,16 @@ def normalize_state_dict(sd: Mapping[str, Any], anchor: str = _VIT_ANCHOR) -> tu
     keys = list(sd.keys())
     if anchor in keys:
         return dict(sd), ""
+    # only accept boundary matches: the key IS the anchor (handled above) or
+    # ends with '.'+anchor, and the stripped prefix must itself end at a '.'
+    # boundary — otherwise 'my_cls_token' or 'layer1.0.conv1.weight' would
+    # donate a bogus prefix and graft wrong tensors
     candidates = sorted(
-        (k[: -len(anchor)] for k in keys if k.endswith("." + anchor) or k.endswith(anchor)),
+        (
+            k[: -len(anchor)]
+            for k in keys
+            if k.endswith("." + anchor) and k[: -len(anchor)].endswith(".")
+        ),
         key=len,
     )
     for prefix in candidates:
