@@ -27,7 +27,12 @@ Lidar parity note: the host loader's PointShuffle draws from the per-item
 numpy stream; the device path permutes with jax RNG instead — a random
 permutation either way (order only matters through voxel first-come capacity
 truncation), so the paths are distribution-identical but not bit-identical
-in point ORDER.  Coordinates themselves replay exactly.
+in point ORDER.  Coordinates themselves replay exactly.  One further caveat:
+when a tile carries MORE points than `max_num_points`, the host loader keeps
+a fresh random subset each epoch (shuffle-then-truncate) while the cache
+holds a fixed first-cap subset permuted on device — identical when the cap
+covers the tile (the packer sizes the cap to the split's true max, so this
+is the normal case), a fixed-subsample approximation otherwise.
 """
 
 from __future__ import annotations
@@ -258,19 +263,21 @@ def build_p2p_cache_arrays(cfg, split: str, tokenizer) -> dict:
 # --- the cache object ---------------------------------------------------------
 
 
-class P2PDeviceCache:
-    """Device-resident Pix2Poly split with a jitted gather+augment batcher.
+class _DeviceCacheBase:
+    """Device-resident split with a jitted gather+augment batcher.
 
     Single-device-mesh fast path (the production single-chip regime); the
-    multi-chip trainers keep the host loader + shard_batch route.
+    multi-chip trainers keep the host loader + shard_batch route.  Subclasses
+    provide `_build_arrays()` (the host-side packed split) and
+    `_build_batch_fn()` (the jitted per-batch gather+augment); epoch order and
+    augmentation-parameter replay are shared and host-loader-exact.
     """
 
-    def __init__(self, cfg, split: str, tokenizer, mesh, batch_size: int | None = None):
+    def __init__(self, cfg, split: str, mesh, batch_size: int | None = None):
         if int(np.prod(mesh.devices.shape)) != 1:
-            raise ValueError("P2PDeviceCache is a single-device fast path")
+            raise ValueError(f"{type(self).__name__} is a single-device fast path")
         self.cfg = cfg
         self.split = split
-        self.tokenizer = tokenizer
         self.is_train = split == "train"
         self.batch_size = int(batch_size or cfg.experiment.model.batch_size)
         self.seed = int(cfg.get("seed", 42))
@@ -279,13 +286,12 @@ class P2PDeviceCache:
         self.mean = np.asarray(list(enc.get("image_mean", [0, 0, 0])), np.float32)
         self.std = np.asarray(list(enc.get("image_std", [1, 1, 1])), np.float32)
         self.max_pix = float(enc.get("image_max_pixel_value", 255.0))
-        self.nmax = tokenizer.max_num_vertices
 
         self.use_images = bool(enc.use_images)
         self.use_lidar = bool(enc.use_lidar)
         self.in_h, self.in_w = int(enc.in_height), int(enc.in_width)
 
-        arrays = build_p2p_cache_arrays(cfg, split, tokenizer)
+        arrays = self._build_arrays()
         self.n = len(arrays["image_id"])
         device = mesh.devices.reshape(-1)[0]
         mb = sum(a.nbytes for a in arrays.values()) / 1e6
@@ -303,52 +309,6 @@ class P2PDeviceCache:
         return self.n // self.batch_size if self.is_train else (
             (self.n + self.batch_size - 1) // self.batch_size
         )
-
-    def _build_batch_fn(self):
-        mean, std, max_pix = self.mean, self.std, self.max_pix
-        nmax = self.nmax
-        use_jitter = "ColorJitter" in self.augmentations
-        use_noise = "GaussNoise" in self.augmentations
-        use_images, use_lidar = self.use_images, self.use_lidar
-        in_h, in_w = self.in_h, self.in_w
-        shuffle_pts = self.is_train
-
-        @partial(jax.jit, static_argnums=())
-        def fn(dev, idxs, d4, jitter, sigma, rng):
-            batch = {
-                "y": dev["ys"][d4, idxs].astype(jnp.int32),
-                "y_perm": perm_rebuild(dev["succ"][idxs], dev["extra"][idxs], nmax),
-            }
-            if use_images:
-                imgs = jax.vmap(_d4_image)(dev["images"][idxs], d4)
-                unit = imgs.astype(jnp.float32) / 255.0
-                if use_jitter:
-                    unit = jax.vmap(_apply_jitter)(unit, jitter)
-                if use_noise:
-                    noise = jax.random.normal(rng, unit.shape, jnp.float32)
-                    unit = unit + noise * sigma[:, None, None, None]
-                unit = jnp.clip(unit, 0.0, 1.0)
-                batch["images"] = (unit * 255.0 / max_pix - mean) / std
-            if use_lidar:
-                pts = jax.vmap(lambda p, g: _d4_points(p, g, in_h, in_w))(
-                    dev["lidar"][idxs], d4
-                )
-                cap = pts.shape[1]
-                mask = jnp.arange(cap)[None, :] < dev["lidar_n"][idxs][:, None]
-                if shuffle_pts:
-                    # PointShuffle: per-item random row permutation (order only
-                    # matters via voxel first-come capacity; see module doc)
-                    perm_keys = jax.random.split(jax.random.fold_in(rng, 1), pts.shape[0])
-                    perms = jax.vmap(
-                        lambda k: jax.random.permutation(k, cap)
-                    )(perm_keys)
-                    pts = jnp.take_along_axis(pts, perms[:, :, None], axis=1)
-                    mask = jnp.take_along_axis(mask, perms, axis=1)
-                batch["lidar"] = pts * mask[..., None]
-                batch["lidar_mask"] = mask
-            return batch
-
-        return fn
 
     def epoch_batches(self, epoch: int):
         """Yield device-resident batch dicts for one epoch.  Replays the host
@@ -395,6 +355,281 @@ class P2PDeviceCache:
             batch["sample_valid"] = np.asarray(valid)
             batch["image_id"] = self.image_id[sel]
             yield batch
+
+    # subclass hooks -------------------------------------------------------
+    def _build_arrays(self) -> dict:
+        raise NotImplementedError
+
+    def _build_batch_fn(self):
+        raise NotImplementedError
+
+    # shared jitted building blocks ---------------------------------------
+    def _augment_images_dev(self, imgs_u8, d4, jitter, sigma, rng):
+        """uint8 (B, H, W, 3) → normalized float batch under per-item D4 +
+        photometric params (identical arithmetic to augment.apply_image)."""
+        use_jitter = "ColorJitter" in self.augmentations
+        use_noise = "GaussNoise" in self.augmentations
+        imgs = jax.vmap(_d4_image)(imgs_u8, d4)
+        unit = imgs.astype(jnp.float32) / 255.0
+        if use_jitter:
+            unit = jax.vmap(_apply_jitter)(unit, jitter)
+        if use_noise:
+            noise = jax.random.normal(rng, unit.shape, jnp.float32)
+            unit = unit + noise * sigma[:, None, None, None]
+        unit = jnp.clip(unit, 0.0, 1.0)
+        return (unit * 255.0 / self.max_pix - self.mean) / self.std
+
+    def _lidar_batch_dev(self, dev, idxs, d4, rng):
+        """Gather + D4 + (train) PointShuffle for the lidar leaves."""
+        pts = jax.vmap(lambda p, g: _d4_points(p, g, self.in_h, self.in_w))(
+            dev["lidar"][idxs], d4
+        )
+        cap = pts.shape[1]
+        mask = jnp.arange(cap)[None, :] < dev["lidar_n"][idxs][:, None]
+        if self.is_train:
+            perm_keys = jax.random.split(jax.random.fold_in(rng, 1), pts.shape[0])
+            perms = jax.vmap(lambda k: jax.random.permutation(k, cap))(perm_keys)
+            pts = jnp.take_along_axis(pts, perms[:, :, None], axis=1)
+            mask = jnp.take_along_axis(mask, perms, axis=1)
+        return pts * mask[..., None], mask
+
+
+class P2PDeviceCache(_DeviceCacheBase):
+    """Device-resident Pix2Poly split (all modalities)."""
+
+    def __init__(self, cfg, split: str, tokenizer, mesh, batch_size: int | None = None):
+        self.tokenizer = tokenizer
+        self.nmax = tokenizer.max_num_vertices
+        super().__init__(cfg, split, mesh, batch_size)
+
+    def _build_arrays(self) -> dict:
+        return build_p2p_cache_arrays(self.cfg, self.split, self.tokenizer)
+
+    def _build_batch_fn(self):
+        nmax = self.nmax
+        use_images, use_lidar = self.use_images, self.use_lidar
+
+        @jax.jit
+        def fn(dev, idxs, d4, jitter, sigma, rng):
+            batch = {
+                "y": dev["ys"][d4, idxs].astype(jnp.int32),
+                "y_perm": perm_rebuild(dev["succ"][idxs], dev["extra"][idxs], nmax),
+            }
+            if use_images:
+                batch["images"] = self._augment_images_dev(
+                    dev["images"][idxs], d4, jitter, sigma, rng
+                )
+            if use_lidar:
+                batch["lidar"], batch["lidar_mask"] = self._lidar_batch_dev(
+                    dev, idxs, d4, rng
+                )
+            return batch
+
+        return fn
+
+
+# --- HiSup device cache -------------------------------------------------------
+
+
+def _d4_xy(pts, g, height, width):
+    """(N, 2) (x, y) keypoints under D4 element index g — the jnp
+    re-expression of augment.apply_d4_keypoints (exact same arithmetic)."""
+    x, y = pts[:, 0], pts[:, 1]
+    W1, H1 = jnp.float32(width - 1), jnp.float32(height - 1)
+    xy = jax.lax.switch(
+        g,
+        [
+            lambda: (x, y),
+            lambda: (y, W1 - x),
+            lambda: (W1 - x, H1 - y),
+            lambda: (H1 - y, x),
+            lambda: (x, H1 - y),
+            lambda: (H1 - y, W1 - x),
+            lambda: (W1 - x, y),
+            lambda: (y, x),
+        ],
+    )
+    return jnp.stack([xy[0], xy[1]], axis=1)
+
+
+def _hisup_cache_path(cfg, split: str) -> str:
+    ds = cfg.experiment.dataset
+    enc = cfg.experiment.encoder
+    m = cfg.experiment.model
+    S = int(m.decoder.in_feature_size)
+    max_j = int(m.get("max_junctions") or 256)
+    max_e = int(m.get("max_edges") or 256)
+    mod = ("i" if bool(enc.use_images) else "") + ("l" if bool(enc.use_lidar) else "")
+    return os.path.join(
+        ds.in_path, f"hisup_cache_{split}_s{S}_j{max_j}_e{max_e}_{mod}.npz"
+    )
+
+
+def build_hisup_cache_arrays(cfg, split: str) -> dict:
+    """Pack a HiSup split for device residence: uint8 images, f32 lidar,
+    UNtransformed junction coords + polygon-edge junction INDICES (edge coords
+    are re-derived on device from the D4-transformed junctions, so geometry
+    needs no per-D4 storage), convex/concave tags (D4-invariant — isometries
+    preserve hull membership), and base masks at both decoder and image
+    resolution (D4 commutes with square nearest-neighbor resize)."""
+    from .synthetic import ensure_synthetic_dataset
+
+    ensure_synthetic_dataset(cfg)
+    path = _hisup_cache_path(cfg, split)
+    if os.path.isfile(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    import cv2
+
+    from ..utils.coco import seg_to_mask
+    from .dataset import MAX_EDGES, MAX_JUNCTIONS
+
+    ds = P3Dataset(cfg, split)
+    n = len(ds)
+    m = cfg.experiment.model
+    max_j = int(m.get("max_junctions") or MAX_JUNCTIONS)
+    max_e = int(m.get("max_edges") or MAX_EDGES)
+    S = int(m.decoder.in_feature_size)
+    H, W = int(cfg.experiment.encoder.in_height), int(cfg.experiment.encoder.in_width)
+
+    images = np.zeros((n, H, W, 3), np.uint8) if ds.use_images else None
+    juncs = np.zeros((n, max_j, 2), np.float32)
+    tags = np.zeros((n, max_j), np.int32)
+    jvalid = np.zeros((n, max_j), bool)
+    eidx = np.zeros((n, max_e, 2), np.int32)
+    evalid = np.zeros((n, max_e), bool)
+    mask_h = np.zeros((n, H, W), np.uint8)
+    mask_s = mask_h if S == W else np.zeros((n, S, S), np.uint8)
+    image_id = np.zeros((n,), np.int32)
+    raw_pts: list = [None] * n if ds.use_lidar else []
+
+    import concurrent.futures as cf
+
+    def pack_one(idx: int) -> None:
+        info = ds.coco.imgs[ds.tile_ids[idx]]
+        if ds.use_images:
+            images[idx] = ds._image(info)
+        if ds.use_lidar:
+            raw_pts[idx] = ds._lidar(info)[: ds.max_points]
+        image_id[idx] = info["id"]
+        mask = np.zeros((info["height"], info["width"]), np.float32)
+        for ann in ds.coco.imgToAnns.get(info["id"], []):
+            mask += seg_to_mask(ann["segmentation"], info["height"], info["width"])
+        mask_h[idx] = np.clip(mask, 0, 1).astype(np.uint8)
+        if S != W:
+            mask_s[idx] = cv2.resize(mask_h[idx], (S, S), interpolation=cv2.INTER_NEAREST)
+        jp = ep = 0
+        for p in ds._polygons(info):
+            pts = np.asarray(p, np.float32)
+            nn = len(pts)
+            if jp + nn > max_j or ep + nn > max_e:
+                break  # same truncation as the host loader (dataset.py:293-300)
+            hull = cv2.convexHull(pts).reshape(-1, 2)
+            is_convex = np.array(
+                [np.any(np.all(np.isclose(hull, q, atol=1e-3), axis=1)) for q in pts]
+            )
+            juncs[idx, jp : jp + nn] = pts
+            tags[idx, jp : jp + nn] = np.where(is_convex, 2, 1)
+            jvalid[idx, jp : jp + nn] = True
+            src = jp + np.arange(nn)
+            eidx[idx, ep : ep + nn, 0] = src
+            eidx[idx, ep : ep + nn, 1] = jp + (np.arange(nn) + 1) % nn
+            evalid[idx, ep : ep + nn] = True
+            jp += nn
+            ep += nn
+
+    with cf.ThreadPoolExecutor(16) as ex:
+        list(ex.map(pack_one, range(n)))
+
+    arrays = {
+        "junctions": juncs,
+        "junc_tags": tags,
+        "junc_valid": jvalid,
+        "eidx": eidx,
+        "edges_valid": evalid,
+        "mask_h": mask_h,
+        "image_id": image_id,
+    }
+    if S != W:
+        arrays["mask_s"] = mask_s
+    if ds.use_images:
+        arrays["images"] = images
+    if ds.use_lidar:
+        counts = np.asarray([len(p) for p in raw_pts], np.int32)
+        cap = int(min(ds.max_points, ((int(counts.max()) + 1023) // 1024) * 1024))
+        lidar = np.zeros((n, cap, 3), np.float32)
+        for i, p in enumerate(raw_pts):
+            k = min(len(p), cap)
+            lidar[i, :k] = p[:k]
+        arrays["lidar"] = lidar
+        arrays["lidar_n"] = np.minimum(counts, cap)
+    np.savez(path, **arrays)
+    logger.info(f"packed {split} hisup device cache ({n} tiles) → {path}")
+    return arrays
+
+
+class HiSupDeviceCache(_DeviceCacheBase):
+    """Device-resident HiSup split: D4 of images/masks/junctions and the
+    edge-coordinate rebuild all happen inside one jitted batcher; the
+    AnnotationEncoder GT targets are already computed on device inside the
+    train step (models/hisup/model.py encode_targets), so the whole GT path
+    becomes host-free."""
+
+    def __init__(self, cfg, split: str, mesh, batch_size: int | None = None):
+        m = cfg.experiment.model
+        self.S = int(m.decoder.in_feature_size)
+        super().__init__(cfg, split, mesh, batch_size)
+
+    def _build_arrays(self) -> dict:
+        return build_hisup_cache_arrays(self.cfg, self.split)
+
+    def _build_batch_fn(self):
+        use_images, use_lidar = self.use_images, self.use_lidar
+        in_h, in_w, S = self.in_h, self.in_w, self.S
+        scale = S / in_w
+
+        @jax.jit
+        def fn(dev, idxs, d4, jitter, sigma, rng):
+            batch = {}
+            if use_images:
+                batch["images"] = self._augment_images_dev(
+                    dev["images"][idxs], d4, jitter, sigma, rng
+                )
+            if use_lidar:
+                batch["lidar"], batch["lidar_mask"] = self._lidar_batch_dev(
+                    dev, idxs, d4, rng
+                )
+            jv = dev["junc_valid"][idxs]
+            ev = dev["edges_valid"][idxs]
+            t = jax.vmap(lambda p, g: _d4_xy(p, g, in_h, in_w))(
+                dev["junctions"][idxs], d4
+            )
+            t = jnp.where(jv[..., None], t, 0.0)
+            if S != in_w:
+                t = t * scale
+                # host: junctions clipped, edge coords scaled unclipped
+                # (dataset.py:317-321)
+                j_out = jnp.clip(t, 0.0, S - 1e-4)
+            else:
+                j_out = t
+            ei = dev["eidx"][idxs]  # (B, E, 2)
+            ea = jnp.take_along_axis(t, ei[..., 0:1].repeat(2, -1), axis=1)
+            eb = jnp.take_along_axis(t, ei[..., 1:2].repeat(2, -1), axis=1)
+            edges = jnp.where(ev[..., None], jnp.concatenate([ea, eb], -1), 0.0)
+            mask_key = "mask_s" if "mask_s" in dev else "mask_h"
+            batch.update(
+                junctions=j_out,
+                junc_tags=dev["junc_tags"][idxs] * jv,
+                junc_valid=jv,
+                edges=edges,
+                edges_valid=ev,
+                mask=jax.vmap(_d4_image)(dev[mask_key][idxs], d4).astype(jnp.float32),
+                mask_ori=jax.vmap(_d4_image)(dev["mask_h"][idxs], d4).astype(jnp.float32),
+            )
+            return batch
+
+        return fn
 
 
 def _chunked_device_put(arr: np.ndarray, device, chunk_mb: int = 256):

@@ -133,9 +133,12 @@ class Loader:
                 yield batch
 
 
-def build_loader(cfg, split: str, tokenizer=None, eval_mode: bool = False) -> Loader:
+def build_loader(
+    cfg, split: str, tokenizer=None, eval_mode: bool = False, batch_size: int | None = None
+) -> Loader:
     """get_{train,val,test}_loader equivalent (build_datasets.py:26-49);
-    eval_mode builds the test-transform loader for any split (prediction)."""
+    eval_mode builds the test-transform loader for any split (prediction).
+    `batch_size` overrides the model batch size (e.g. larger eval batches)."""
     from .synthetic import ensure_synthetic_dataset
 
     ensure_synthetic_dataset(cfg)
@@ -143,7 +146,7 @@ def build_loader(cfg, split: str, tokenizer=None, eval_mode: bool = False) -> Lo
     train = split == "train" and not eval_mode
     return Loader(
         ds,
-        batch_size=int(cfg.experiment.model.batch_size),
+        batch_size=int(batch_size or cfg.experiment.model.batch_size),
         shuffle=train and cfg.run_type.name != "debug",
         drop_last=False,
         seed=int(cfg.get("seed", 42)),

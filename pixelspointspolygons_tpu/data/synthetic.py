@@ -276,10 +276,28 @@ def write_synthetic_dataset(cfg, splits=("train", "val", "test"), seed: int = 42
 
 
 def ensure_synthetic_dataset(cfg) -> None:
-    """Generate the synthetic dataset once if missing (idempotent)."""
+    """Generate the synthetic dataset once if missing (idempotent).
+
+    Multi-process safe: only process 0 generates; other ranks poll for the
+    annotation files (the reference assumes pre-downloaded data, so this
+    race only exists for the self-generating synthetic set)."""
     ds = cfg.experiment.dataset
     if ds.name != "Synthetic":
         return
     if all(os.path.isfile(ds.annotations[s]) for s in ("train", "val", "test")):
         return
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        import time
+
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if all(os.path.isfile(ds.annotations[s]) for s in ("train", "val", "test")):
+                # generator writes annotations last, but give the final file
+                # flush a beat before readers open it
+                time.sleep(1.0)
+                return
+            time.sleep(1.0)
+        raise TimeoutError("rank 0 did not generate the synthetic dataset in time")
     write_synthetic_dataset(cfg)

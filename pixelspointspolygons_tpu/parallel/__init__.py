@@ -1,5 +1,6 @@
 from .mesh import (
     DATA_AXIS,
+    local_values,
     device_prefetch,
     all_gather_objects,
     data_sharding,
@@ -12,6 +13,7 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "local_values",
     "device_prefetch",
     "all_gather_objects",
     "data_sharding",

@@ -146,6 +146,36 @@ def device_prefetch(batch_iter, mesh: Mesh, depth: int = 2):
         yield nxt
 
 
+def local_values(x, dtype=None) -> "np.ndarray":
+    """Materialize the process-LOCAL rows of a (possibly) globally-sharded
+    array.
+
+    Single-process: the whole array (np.asarray).  Multi-process: a global
+    batch-sharded jax.Array spans non-addressable devices, so np.asarray
+    raises; instead concatenate this process's addressable shards in global
+    row order — exactly the rows this process fed via
+    make_array_from_process_local_data, so downstream per-row host loops stay
+    aligned with the process-local host batch (image_id / sample_valid)."""
+    import numpy as np
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        out = np.asarray(x)
+        return out.astype(dtype) if dtype is not None else out
+    shards = sorted(
+        x.addressable_shards, key=lambda s: (s.index[0].start or 0) if s.index else 0
+    )
+    seen = set()
+    parts = []
+    for s in shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:  # replicated shards appear once per device
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data))
+    out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return out.astype(dtype) if dtype is not None else out
+
+
 def all_gather_objects(obj: Any) -> list[Any]:
     """Gather host-side python objects across processes.
 

@@ -55,8 +55,11 @@ class FFLPredictor(Predictor):
         inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
         inputs = shard_batch(inputs, self.mesh)
         out = self._forward(variables, inputs)
-        seg = np.asarray(out["seg"], np.float32)
-        crossfield = np.asarray(out["crossfield"], np.float32)
+        # local rows only under multi-process SPMD (parallel.local_values)
+        from ..parallel import local_values
+
+        seg = local_values(out["seg"], np.float32)
+        crossfield = local_values(out["crossfield"], np.float32)
         self._maybe_save_raw(batch, seg, crossfield)
         return self.polygonizer(seg, crossfield)
 

@@ -59,9 +59,12 @@ class HiSupPredictor(Predictor):
         inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
         inputs = shard_batch(inputs, self.mesh)
         remask, juncs, scores = self._forward(variables, inputs)
-        remask = np.asarray(remask, np.float32)
-        juncs = np.asarray(juncs, np.float32)
-        scores = np.asarray(scores, np.float32)
+        # local rows only under multi-process SPMD (parallel.local_values)
+        from ..parallel import local_values
+
+        remask = local_values(remask, np.float32)
+        juncs = local_values(juncs, np.float32)
+        scores = local_values(scores, np.float32)
 
         S = remask.shape[-1]
         scale = self.in_size / S

@@ -112,13 +112,29 @@ class Pix2PolyPredictor(Predictor):
             v["batch_stats"] = payload["batch_stats"]
         return v
 
-    def predict_batch(self, variables, batch: dict) -> tuple[list, np.ndarray]:
-        """Returns (per-sample polygon lists, tokens)."""
+    def decode_async(self, variables, batch: dict):
+        """Enqueue the device decode and return unmaterialized device arrays
+        (tokens, scores).  JAX dispatch is async, so the caller can keep a
+        batch in flight while assembling the previous one on host — the
+        device→host score/token transfer of batch k then overlaps batch k+1's
+        decode (predict_dataset's pipeline)."""
         inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
         inputs = shard_batch(inputs, self.mesh)
-        tokens, scores = self._gen(variables, inputs)
-        tokens = np.asarray(tokens)
-        scores = np.asarray(scores, np.float32)
+        return self._gen(variables, inputs)
+
+    def predict_batch(self, variables, batch: dict) -> tuple[list, np.ndarray]:
+        """Returns (per-sample polygon lists, tokens)."""
+        tokens, scores = self.decode_async(variables, batch)
+        return self.assemble(tokens, scores)
+
+    def assemble(self, tokens, scores) -> tuple[list, np.ndarray]:
+        """Host half: materialize + Hungarian + successor-chain merge.
+        Under multi-process SPMD each rank assembles only its local rows
+        (parallel.local_values) — the caller merges via all_gather_objects."""
+        from ..parallel import local_values
+
+        tokens = local_values(tokens)
+        scores = local_values(scores, np.float32)
         perm = scores_to_permutations(scores)
 
         B = tokens.shape[0]
@@ -142,13 +158,26 @@ class Pix2PolyPredictor(Predictor):
         split = split or self.cfg.evaluation.split
         payload = self.load_checkpoint()
         variables = replicate(self._variables(payload), self.mesh)
-        loader = build_loader(self.cfg, split, tokenizer=self.tokenizer, eval_mode=True)
+        # eval can run a larger batch than training (AR decode is
+        # latency-bound; the batch-scan in BENCH_TABLE peaks ≥128) —
+        # per-tile outputs are batch-size-invariant
+        bs = self.cfg.evaluation.get("batch_size")
+        loader = build_loader(
+            self.cfg,
+            split,
+            tokenizer=self.tokenizer,
+            eval_mode=True,
+            batch_size=int(bs) if bs else None,
+        )
 
         predictions: list[dict] = []
         t0 = time.time()
         n_images = 0
-        for batch in loader:
-            polys, _ = self.predict_batch(variables, batch)
+
+        def drain(entry) -> None:
+            nonlocal n_images
+            (tokens, scores), batch = entry
+            polys, _ = self.assemble(tokens, scores)
             for b, image_polys in enumerate(polys):
                 if not batch["sample_valid"][b]:
                     continue
@@ -156,6 +185,16 @@ class Pix2PolyPredictor(Predictor):
                     generate_coco_ann(image_polys, int(batch["image_id"][b]))
                 )
                 n_images += 1
+
+        # keep one decode in flight: batch k's host assembly + score/token
+        # download overlap batch k+1's device decode
+        inflight: list = []
+        for batch in loader:
+            inflight.append((self.decode_async(variables, batch), batch))
+            if len(inflight) > 1:
+                drain(inflight.pop(0))
+        while inflight:
+            drain(inflight.pop(0))
         dt = (time.time() - t0) / max(n_images, 1)
         self.logger.info(f"prediction: {dt:.4f} [s/image] over {n_images} images")
 

@@ -17,6 +17,20 @@ from .state import cosine_with_warmup, create_train_state, make_optimizer, num_p
 from .trainer import Trainer
 
 
+# device-resident batch leaves the jitted steps consume
+_DEV_KEYS = (
+    "images",
+    "lidar",
+    "lidar_mask",
+    "junctions",
+    "junc_tags",
+    "junc_valid",
+    "edges",
+    "edges_valid",
+    "mask",
+)
+
+
 class HiSupTrainer(Trainer):
     def setup(self) -> None:
         cfg = self.cfg
@@ -26,8 +40,28 @@ class HiSupTrainer(Trainer):
         self.train_loader = build_loader(cfg, "train")
         self.val_loader = build_loader(cfg, "val")
 
+        # device-resident dataset fast path (single-chip); same opt-in knob
+        # as Pix2Poly (training.device_cache) — data/device_cache.py
+        self.cache = None
+        dc = str(cfg.training.get("device_cache") or "false").lower()
+        if dc in ("auto", "true", "1"):
+            from ..data.device_cache import HiSupDeviceCache
+
+            try:
+                self.cache = {
+                    "train": HiSupDeviceCache(cfg, "train", self.mesh),
+                    "val": HiSupDeviceCache(cfg, "val", self.mesh),
+                }
+            except (NotImplementedError, ValueError) as e:
+                if dc != "auto":
+                    raise
+                self.logger.info(f"device cache unavailable ({e}); host loader")
+
         m = cfg.experiment.model
-        total_steps = len(self.train_loader) * int(m.num_epochs)
+        steps_per_epoch = (
+            len(self.cache["train"]) if self.cache else len(self.train_loader)
+        )
+        total_steps = steps_per_epoch * int(m.num_epochs)
         schedule = cosine_with_warmup(float(m.learning_rate), total_steps)
         tx = make_optimizer("adamw", schedule, weight_decay=float(m.weight_decay))
 
@@ -77,8 +111,14 @@ class HiSupTrainer(Trainer):
         self._predictor._forward = forward
 
     def train_one_epoch(self, epoch: int) -> dict:
-        self.train_loader.set_epoch(epoch)
         records = []
+        if self.cache:
+            for batch in self.cache["train"].epoch_batches(epoch):
+                dev_batch = {k: batch[k] for k in _DEV_KEYS if k in batch}
+                self.state, metrics = self._train_step(self.state, dev_batch)
+                records.append(metrics)
+            return self.summarize_deferred(records)
+        self.train_loader.set_epoch(epoch)
         for batch in device_prefetch(self.train_loader, self.mesh):
             self.state, metrics = self._train_step(self.state, batch)
             records.append(metrics)
@@ -86,6 +126,11 @@ class HiSupTrainer(Trainer):
 
     def val_one_epoch(self, epoch: int) -> dict:
         records = []
+        if self.cache:
+            for batch in self.cache["val"].epoch_batches(epoch):
+                dev_batch = {k: batch[k] for k in _DEV_KEYS if k in batch}
+                records.append(self._val_step(self.state, dev_batch))
+            return self.summarize_deferred(records)
         for batch in self.val_loader:
             records.append(self._val_step(self.state, self.shard(batch)))
         return self.summarize_deferred(records)

@@ -29,6 +29,11 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, str(name))
 
     def save(self, name: str, state, epoch: int, cfg=None, extra: Optional[dict] = None) -> None:
+        # rank-0-only writes under multi-process SPMD (reference gates the
+        # same way on dist rank, train/trainer.py:109); params are replicated
+        # so process 0's device_get is the global state
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),

@@ -19,9 +19,12 @@ from typing import Any, Optional
 class RunLogger:
     def __init__(self, cfg, enabled: Optional[bool] = None):
         self.cfg = cfg
-        self.enabled = (
-            bool(cfg.run_type.log_to_wandb) if enabled is None else enabled
-        )
+        if enabled is None:
+            import jax
+
+            # rank-0-only run logging under multi-process SPMD
+            enabled = bool(cfg.run_type.log_to_wandb) and jax.process_index() == 0
+        self.enabled = enabled
         self._wandb = None
         self._file = None
         if not self.enabled:

