@@ -1,0 +1,78 @@
+"""Harvest the trained (model x modality) grid's metrics CSVs into one
+markdown table + a combined CSV snapshot (reference: the paper's Tab. 2
+modality-ablation grid, produced by scripts/modality_ablation.py:22-35 +
+eval CSVs; here the runs are the synthetic-xl proofs).
+
+Usage: python scripts/collect_grid.py [--split val] [--out docs/results_round4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+RUNS = [
+    # (model-dir, run-name, model, modality, train tiles)
+    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384),
+    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048),
+    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048),
+    ("hisup", "hisup_image_xl", "HiSup", "image", 2048),
+    ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048),
+    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048),
+    ("ffl", "ffl_image_xl", "FFL", "image", 2048),
+    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048),
+    ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048),
+]
+
+COLS = ["IoU", "C-IoU", "NR", "AP", "AP50", "AR100", "bAP", "polis", "chamfer", "mta", "num_polygons"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--out", default="docs/results_round4")
+    ap.add_argument("--root", default="outputs/Synthetic_output")
+    args = ap.parse_args()
+
+    rows = []
+    for mdir, name, model, modality, ntrain in RUNS:
+        path = os.path.join(args.root, mdir, "224", name, "results", f"metrics_{args.split}.csv")
+        if not os.path.exists(path):
+            rows.append({"model": model, "modality": modality, "run": name, "status": "missing"})
+            continue
+        with open(path) as f:
+            # last row = most recent eval of this run
+            recs = list(csv.DictReader(f))
+        rec = recs[-1]
+        row = {"model": model, "modality": modality, "run": name, "train_tiles": ntrain}
+        for c in COLS:
+            v = rec.get(c, "")
+            try:
+                row[c] = round(float(v), 4)
+            except (TypeError, ValueError):
+                row[c] = v
+        rows.append(row)
+
+    os.makedirs(args.out, exist_ok=True)
+    out_csv = os.path.join(args.out, f"grid_{args.split}.csv")
+    keys = ["model", "modality", "run", "train_tiles", *COLS, "status"]
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+
+    hdr = ["model", "modality", "IoU", "C-IoU", "NR", "AP", "AP50", "mta"]
+    print(f"## 3x3 trained grid — synthetic {args.split} split\n")
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for r in rows:
+        cells = [str(r.get(k, "—")) for k in hdr]
+        if r.get("status") == "missing":
+            cells = [r["model"], r["modality"]] + ["—"] * (len(hdr) - 2)
+        print("| " + " | ".join(cells) + " |")
+    print(f"\nwrote {out_csv}")
+
+
+if __name__ == "__main__":
+    main()
