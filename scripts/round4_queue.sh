@@ -1,9 +1,12 @@
 #!/bin/bash
-# Round-4 modality-grid queue: train + full-battery-evaluate every remaining
-# (model x modality) cell on the synthetic xl split (2048 train / 32 val / 32
-# test tiles), warm-starting each run from the strongest same-family checkpoint
-# — the in-env substitute for the reference's pretrained-encoder downloads
-# (reference: scripts/modality_ablation.py trains/evals the same 3x3 grid from
+# Round-4 modality-grid queue (v2, cold-start-aware): the fresh container lost
+# every round-3 checkpoint, so the warm-start chain is rebuilt inside the
+# queue itself: FFL-image trains first (fast, high-quality) and donates its
+# ViT-S/8 trunk to the Pix2Poly image base via the fuzzy suffix matcher
+# (utils/checkpoint.py smart_restore_params); each later cell warms from the
+# strongest same-family checkpoint — the in-env substitute for the
+# reference's pretrained-encoder downloads (reference:
+# scripts/modality_ablation.py trains/evals the same 3x3 grid from
 # HF-downloaded weights).
 #
 # Sequential on purpose: one TPU chip + one host core; `nice -n -10` keeps the
@@ -36,9 +39,9 @@ evalrun () {
   done
 }
 
-# trainrun <experiment> <name> <epochs> <timeout_s> <warmstart_dir|-> [extra...]
+# trainrun <experiment> <name> <epochs> <timeout_s> <sizes> <warmstart_dir|-> [extra...]
 trainrun () {
-  local EXP=$1 NAME=$2 EPOCHS=$3 TMO=$4 WARM=$5; shift 5
+  local EXP=$1 NAME=$2 EPOCHS=$3 TMO=$4 SIZES=$5 WARM=$6; shift 6
   local WARMARG=""
   if [ "$WARM" != "-" ]; then
     if [ -d "$WARM" ]; then WARMARG="init_weights_from=$WARM";
@@ -46,45 +49,52 @@ trainrun () {
   fi
   echo "[$(stamp)] QUEUE train $NAME (epochs=$EPOCHS warm=${WARMARG:-none})"
   timeout $TMO nice -n -10 python scripts/train.py experiment=$EXP dataset=synthetic \
-    run_type=release $XL training.device_cache=true experiment.model.num_epochs=$EPOCHS \
-    experiment.name=$NAME $WARMARG "$@" 2>&1 | grep -E "epoch|warm|error|Error|Traceback" | tail -80 \
+    run_type=release $SIZES training.device_cache=true experiment.model.num_epochs=$EPOCHS \
+    experiment.name=$NAME $WARMARG "$@" 2>&1 | grep -E "epoch|warm|error|Error|Traceback" | tail -100 \
     && echo "[$(stamp)] QUEUE-OK train $NAME" \
     || echo "[$(stamp)] QUEUE-FAIL train $NAME"
 }
 
-CH=experiment.dataset.country=CH
+# 1) FFL image xl: warm base for the FFL family AND the ViT-trunk donor for
+#    Pix2Poly (both are ViT-S/8 224; round-3 recipe hit IoU 0.972 @ 40 ep).
+trainrun ffl_image ffl_image_xl 40 7200 "$XL" -
+# (no eval: the round-3 full-battery row for this exact recipe is committed
+#  in docs/results_round3 + grid_val.csv)
 
-# 0) Final eval of the xxl image flagship (graded config #1) on the 128-tile splits.
-evalrun p2p_image p2p_image_xxl "$XXL"
+# 2) Pix2Poly image xxl: the flagship base. ViT trunk warm from FFL; decoder
+#    cold; 16384-tile split carries the data-hungry AR decoder (round-4 proof
+#    run: 44 warm epochs -> val IoU 0.872; cold decoder gets 72 epochs).
+trainrun p2p_image p2p_image_xxl 72 14400 "$XXL" $CK/ffl/224/ffl_image_xl/checkpoints/best_val_iou
+# (no eval: docs/results_round4/p2p_image_xxl_{val,test}.csv are committed)
 
-# 1-2) Pix2Poly lidar + fusion (graded configs #2/#3); decoder + ViT trunk warm
-#      from the strong image run.
-trainrun p2p_lidar  p2p_lidar_xl  120 7200 $CK/pix2poly/224/p2p_image_xxl/checkpoints/best_val_iou
-evalrun  p2p_lidar  p2p_lidar_xl  "$XL"
-trainrun p2p_fusion p2p_fusion_xl 120 7200 $CK/pix2poly/224/p2p_image_xxl/checkpoints/best_val_iou $CH
-evalrun  p2p_fusion p2p_fusion_xl "$XL" $CH
+# 3-4) Pix2Poly lidar + fusion (graded configs #2/#3): decoder + trunk warm
+#      from the image base, xxl data, fewer epochs (decoder already trained).
+P2PWARM=$CK/pix2poly/224/p2p_image_xxl/checkpoints/best_val_iou
+trainrun p2p_lidar  p2p_lidar_xxl  36 9000 "$XXL" $P2PWARM
+evalrun  p2p_lidar  p2p_lidar_xxl  "$XXL"
+trainrun p2p_fusion p2p_fusion_xxl 36 9000 "$XXL" $P2PWARM
+evalrun  p2p_fusion p2p_fusion_xxl "$XXL"
 
-# 3) HiSup image at xl scale (the data lever round 3 left on the table).
-trainrun hisup_image hisup_image_xl 60 7200 $CK/hisup/224/hisup_image/checkpoints/best_val_iou
+# 5) HiSup image at xl scale (the data lever round 3 left on the table).
+trainrun hisup_image hisup_image_xl 80 9000 "$XL" -
 evalrun  hisup_image hisup_image_xl "$XL"
 
-# 4) HiSup fusion (graded config #4, "multimodal"): HRNet trunk + heads warm
-#    from the xl image run (falls back to the 256-tile run if #3 failed).
-HWARM=$CK/hisup/224/hisup_image_xl/checkpoints/best_val_iou
-[ -d "$HWARM" ] || HWARM=$CK/hisup/224/hisup_image/checkpoints/best_val_iou
-trainrun hisup_fusion hisup_fusion_xl 50 7200 "$HWARM" $CH
-evalrun  hisup_fusion hisup_fusion_xl "$XL" $CH
+# 6) HiSup fusion (graded config #4, "multimodal"): HRNet trunk + heads warm
+#    from the xl image run.
+trainrun hisup_fusion hisup_fusion_xl 50 7200 "$XL" $CK/hisup/224/hisup_image_xl/checkpoints/best_val_iou
+evalrun  hisup_fusion hisup_fusion_xl "$XL"
 
-# 5-6) FFL lidar + fusion: ViT trunk + FFL head warm from ffl_image_xl.
-trainrun ffl_lidar  ffl_lidar_xl  40 6000 $CK/ffl/224/ffl_image_xl/checkpoints/best_val_iou
+# 7-8) FFL lidar + fusion: ViT trunk + FFL head warm from ffl_image_xl.
+FFLWARM=$CK/ffl/224/ffl_image_xl/checkpoints/best_val_iou
+trainrun ffl_lidar  ffl_lidar_xl  40 7200 "$XL" $FFLWARM
 evalrun  ffl_lidar  ffl_lidar_xl  "$XL"
-trainrun ffl_fusion ffl_fusion_xl 40 6000 $CK/ffl/224/ffl_image_xl/checkpoints/best_val_iou $CH
-evalrun  ffl_fusion ffl_fusion_xl "$XL" $CH
+trainrun ffl_fusion ffl_fusion_xl 40 7200 "$XL" $FFLWARM
+evalrun  ffl_fusion ffl_fusion_xl "$XL"
 
-# 7) HiSup lidar (last 3x3 cell): pillar branch + heads warm from fusion.
+# 9) HiSup lidar (last 3x3 cell): pillar branch + heads warm from fusion.
 LWARM=$CK/hisup/224/hisup_fusion_xl/checkpoints/best_val_iou
 [ -d "$LWARM" ] || LWARM=$CK/hisup/224/hisup_image_xl/checkpoints/best_val_iou
-trainrun hisup_lidar hisup_lidar_xl 50 7200 "$LWARM"
+trainrun hisup_lidar hisup_lidar_xl 50 7200 "$XL" "$LWARM"
 evalrun  hisup_lidar hisup_lidar_xl "$XL"
 
 echo "[$(stamp)] QUEUE done"
