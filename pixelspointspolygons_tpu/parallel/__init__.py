@@ -9,6 +9,7 @@ from .mesh import (
     replicate,
     replicated_sharding,
     shard_batch,
+    sync_processes,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "sync_processes",
 ]

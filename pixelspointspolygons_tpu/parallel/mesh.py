@@ -176,6 +176,24 @@ def local_values(x, dtype=None) -> "np.ndarray":
     return out.astype(dtype) if dtype is not None else out
 
 
+def sync_processes(tag: str = "p3_sync") -> None:
+    """Cross-process barrier (no-op single-process).
+
+    Called at the end of Trainer.train()/predict main so all ranks reach
+    jax.distributed's atexit shutdown barrier together: rank 0 does extra
+    tail work (final orbax checkpoint writes, run-log flush) that other ranks
+    skip, and on a loaded host that gap can exceed the coordination-service
+    shutdown-barrier deadline, killing otherwise-successful runs. Reference
+    counterpart: torch.distributed.barrier() before destroy_process_group
+    (misc/shared_utils.py teardown path).
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
+
+
 def all_gather_objects(obj: Any) -> list[Any]:
     """Gather host-side python objects across processes.
 

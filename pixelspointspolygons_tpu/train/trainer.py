@@ -9,7 +9,7 @@ import jax
 import numpy as np
 
 from ..config.engine import Config
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, replicate, shard_batch, sync_processes
 from ..utils.checkpoint import CheckpointManager, save_best_and_latest
 from ..utils.logger import MetricLogger, make_logger
 from ..utils.seeding import seed_everything
@@ -67,6 +67,7 @@ class Trainer:
                 history["val_iou"] = val_iou
             self.run_logger.log(history, step=epoch)
         self.run_logger.finish()
+        sync_processes("p3_train_end")
         return history
 
     def maybe_resume(self) -> None:

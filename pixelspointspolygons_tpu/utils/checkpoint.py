@@ -29,11 +29,13 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, str(name))
 
     def save(self, name: str, state, epoch: int, cfg=None, extra: Optional[dict] = None) -> None:
-        # rank-0-only writes under multi-process SPMD (reference gates the
-        # same way on dist rank, train/trainer.py:109); params are replicated
-        # so process 0's device_get is the global state
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            return
+        # Under multi-process SPMD every rank must call save: orbax's async
+        # checkpointer runs internal cross-process barriers
+        # (_Checkpointer:save_start / save_end), so a torch-style rank-0-only
+        # gate (reference train/trainer.py:109) deadlocks rank 0 against the
+        # barrier. Orbax itself does the rank-0-only filesystem writes; the
+        # save/not-save decisions are identical on all ranks because val
+        # metrics are global (collective means + all_gather_objects).
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),
@@ -47,7 +49,7 @@ class CheckpointManager:
         path = self.path(name)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
-        if cfg is not None:
+        if cfg is not None and jax.process_index() == 0:
             with open(os.path.join(path, "config.yaml"), "w") as f:
                 f.write(to_yaml(cfg))
 

@@ -144,6 +144,7 @@ def bench_ffl() -> dict:
     cfg = _cfg("ffl_image")
     trainer = FFLTrainer(cfg)
     trainer.setup()
+    trainer.maybe_resume()  # honors init_weights_from=<ckpt> for trained-weight probes
     batch = next(iter(trainer.val_loader))
     variables = {"params": trainer.state.params}
     if trainer.state.batch_stats is not None:
@@ -226,6 +227,7 @@ def bench_hisup() -> dict:
     cfg = _cfg("hisup_image")
     trainer = HiSupTrainer(cfg)
     trainer.setup()
+    trainer.maybe_resume()  # honors init_weights_from=<ckpt> for trained-weight probes
     batch = next(iter(trainer.val_loader))
     variables = {"params": trainer.state.params}
     if trainer.state.batch_stats is not None:

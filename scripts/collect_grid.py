@@ -13,16 +13,20 @@ import csv
 import os
 
 RUNS = [
-    # (model-dir, run-name, model, modality, train tiles)
-    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384),
-    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048),
-    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048),
-    ("hisup", "hisup_image_xl", "HiSup", "image", 2048),
-    ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048),
-    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048),
-    ("ffl", "ffl_image_xl", "FFL", "image", 2048),
-    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048),
-    ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048),
+    # (model-dir, run-name, model, modality, train tiles, alt_csv) — alt_csv
+    # is a committed results CSV used when the live run dir is gone (the
+    # round-4 container restart wiped outputs/; image-cell proofs were
+    # evaluated and committed earlier: round-4 p2p_image_xxl, round-3
+    # ffl_image_xl + hisup image (256-tile run)).
+    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384, "docs/results_round4/p2p_image_xxl_{split}.csv"),
+    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048, None),
+    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048, None),
+    ("hisup", "hisup_image_xl", "HiSup", "image", 256, "docs/results_round3/hisup_{split}.csv"),
+    ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
+    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048, None),
+    ("ffl", "ffl_image_xl", "FFL", "image", 2048, "docs/results_round3/ffl_xl_{split}.csv"),
+    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048, None),
+    ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048, None),
 ]
 
 COLS = ["IoU", "C-IoU", "NR", "AP", "AP50", "AR100", "bAP", "polis", "chamfer", "mta", "num_polygons"]
@@ -36,8 +40,10 @@ def main() -> None:
     args = ap.parse_args()
 
     rows = []
-    for mdir, name, model, modality, ntrain in RUNS:
+    for mdir, name, model, modality, ntrain, alt in RUNS:
         path = os.path.join(args.root, mdir, "224", name, "results", f"metrics_{args.split}.csv")
+        if not os.path.exists(path) and alt:
+            path = alt.format(split=args.split)
         if not os.path.exists(path):
             rows.append({"model": model, "modality": modality, "run": name, "status": "missing"})
             continue

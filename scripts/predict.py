@@ -38,6 +38,10 @@ def main() -> None:
     evaluator.to_csv(results)
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in results.items()})
 
+    from pixelspointspolygons_tpu.parallel import sync_processes
+
+    sync_processes("p3_predict_end")
+
 
 if __name__ == "__main__":
     main()
