@@ -19,7 +19,7 @@ RUNS = [
     # evaluated and committed earlier: round-4 p2p_image_xxl, round-3
     # ffl_image_xl + hisup image (256-tile run)).
     ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384, "docs/results_round4/p2p_image_xxl_{split}.csv"),
-    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048, None),
+    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048, "docs/results_round4/p2p_lidar_xl_{split}.csv"),
     ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048, None),
     ("hisup", "hisup_image_xl", "HiSup", "image", 256, "docs/results_round3/hisup_{split}.csv"),
     ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
