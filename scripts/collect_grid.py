@@ -20,10 +20,10 @@ RUNS = [
     # ffl_image_xl + hisup image (256-tile run)).
     ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384, "docs/results_round4/p2p_image_xxl_{split}.csv"),
     ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048, "docs/results_round4/p2p_lidar_xl_{split}.csv"),
-    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048, None),
+    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048, "docs/results_round4/p2p_fusion_xl_{split}.csv"),
     ("hisup", "hisup_image_xl", "HiSup", "image", 256, "docs/results_round3/hisup_{split}.csv"),
     ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
-    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048, None),
+    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048, "docs/results_round4/hisup_fusion_xl_{split}.csv"),
     ("ffl", "ffl_image_xl", "FFL", "image", 2048, "docs/results_round3/ffl_xl_{split}.csv"),
     ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048, None),
     ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048, None),
@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--split", default="val")
     ap.add_argument("--out", default="docs/results_round4")
     ap.add_argument("--root", default="outputs/Synthetic_output")
+    ap.add_argument("--splice", default="", help="markdown file with a <!-- GRID_TABLE --> marker to replace")
     args = ap.parse_args()
 
     rows = []
@@ -68,16 +69,28 @@ def main() -> None:
         w.writeheader()
         w.writerows(rows)
 
-    hdr = ["model", "modality", "IoU", "C-IoU", "NR", "AP", "AP50", "mta"]
-    print(f"## 3x3 trained grid — synthetic {args.split} split\n")
-    print("| " + " | ".join(hdr) + " |")
-    print("|" + "---|" * len(hdr))
+    hdr = ["model", "modality", "train_tiles", "IoU", "C-IoU", "NR", "AP", "AP50", "mta"]
+    lines = ["| " + " | ".join(hdr) + " |", "|" + "---|" * len(hdr)]
     for r in rows:
         cells = [str(r.get(k, "—")) for k in hdr]
         if r.get("status") == "missing":
             cells = [r["model"], r["modality"]] + ["—"] * (len(hdr) - 2)
-        print("| " + " | ".join(cells) + " |")
+        lines.append("| " + " | ".join(cells) + " |")
+    table = "\n".join(lines)
+    print(f"## 3x3 trained grid — synthetic {args.split} split\n")
+    print(table)
     print(f"\nwrote {out_csv}")
+
+    if args.splice:
+        marker = "<!-- GRID_TABLE -->"
+        with open(args.splice) as f:
+            doc = f.read()
+        start = doc.index(marker)
+        end = doc.index("<!-- /GRID_TABLE -->", start) if "<!-- /GRID_TABLE -->" in doc else start + len(marker)
+        doc = doc[:start] + marker + "\n" + table + "\n<!-- /GRID_TABLE -->" + doc[end if end == start + len(marker) else end + len("<!-- /GRID_TABLE -->"):]
+        with open(args.splice, "w") as f:
+            f.write(doc)
+        print(f"spliced table into {args.splice}")
 
 
 if __name__ == "__main__":
