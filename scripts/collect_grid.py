@@ -25,7 +25,7 @@ RUNS = [
     ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
     ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048, "docs/results_round4/hisup_fusion_xl_{split}.csv"),
     ("ffl", "ffl_image_xl", "FFL", "image", 2048, "docs/results_round3/ffl_xl_{split}.csv"),
-    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048, None),
+    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048, "docs/results_round4/ffl_lidar_xl_{split}.csv"),
     ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048, None),
 ]
 
