@@ -18,10 +18,12 @@ sequences per D4 element are precomputed with the exact host tokenizer.  The
 only divergence is the Gaussian-noise field itself (drawn from jax RNG
 instead of numpy — iid either way).
 
-Covers all three Pix2Poly modalities (image / lidar / fusion): images ride as
+Covers all three model families across all three modalities: images ride as
 uint8, lidar point clouds as f32 trimmed to the split's true max point count
 (synthetic tiles carry 30-60k points, not the 200k config pad), both
-D4-transformed on device.  Dense-GT families (HiSup/FFL) keep the host loader.
+D4-transformed on device.  HiSup additionally packs junction/edge geometry
+(GT targets derive on device in the train step); FFL packs its raw uint8 GT
+rasters and replays the D4 + angle-value transforms on device.
 
 Lidar parity note: the host loader's PointShuffle draws from the per-item
 numpy stream; the device path permutes with jax RNG instead — a random
@@ -49,6 +51,28 @@ from . import augment
 from .dataset import P3Dataset, build_perm_targets
 
 logger = make_logger("DeviceCache")
+
+
+class CacheFitError(ValueError):
+    """Raised when the packed split would not safely fit in device memory.
+
+    Trainers treat this as 'use the host loader' even when
+    training.device_cache=true — a slow fallback beats dying in
+    RESOURCE_EXHAUSTED after a multi-minute upload (the round-4
+    HiSup-fusion failure mode)."""
+
+
+def _device_memory_budget(device) -> int | None:
+    """Bytes of device memory, or None when unknown/unbounded (CPU tests)."""
+    try:
+        stats = device.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    if getattr(device, "platform", "cpu") != "cpu":
+        return 16 * 2**30  # v5e default when the tunnel hides memory_stats
+    return None
 
 
 # --- perm-matrix factorization ----------------------------------------------
@@ -294,7 +318,18 @@ class _DeviceCacheBase:
         arrays = self._build_arrays()
         self.n = len(arrays["image_id"])
         device = mesh.devices.reshape(-1)[0]
-        mb = sum(a.nbytes for a in arrays.values()) / 1e6
+        nbytes = sum(a.nbytes for a in arrays.values())
+        budget = _device_memory_budget(device)
+        # leave at least half the HBM for params/optimizer/activations: a
+        # resident cache that crowds them out dies in RESOURCE_EXHAUSTED on
+        # the first train step, after the (multi-minute) upload
+        if budget is not None and nbytes > 0.5 * budget:
+            raise CacheFitError(
+                f"{self.split} cache is {nbytes/1e9:.1f} GB — more than half "
+                f"the device's {budget/1e9:.1f} GB; falling back to the host "
+                "loader (use a smaller split, e.g. dataset.version=v2xl)"
+            )
+        mb = nbytes / 1e6
         logger.info(
             f"uploading {split} cache to device: {self.n} tiles, {mb:.0f} MB "
             "(one-time; per-step host traffic drops to index/param scalars)"
@@ -627,6 +662,162 @@ class HiSupDeviceCache(_DeviceCacheBase):
                 mask=jax.vmap(_d4_image)(dev[mask_key][idxs], d4).astype(jnp.float32),
                 mask_ori=jax.vmap(_d4_image)(dev["mask_h"][idxs], d4).astype(jnp.float32),
             )
+            return batch
+
+        return fn
+
+
+# --- FFL device cache ---------------------------------------------------------
+
+
+def _d4_angle_value(angle, g):
+    """Tangent-angle VALUE transform (radians mod π) under D4 element index g
+    — the jnp re-expression of augment.apply_d4_crossfield_angle (applied
+    after the dense field itself was moved spatially). D4_ELEMENTS order:
+    e, r90, r180, r270, v, hvt, h, t."""
+    pi = jnp.float32(np.pi)
+    return jax.lax.switch(
+        g,
+        [
+            lambda a: a,
+            lambda a: (a + pi / 2) % pi,
+            lambda a: (a + pi) % pi,
+            lambda a: (a + 3 * pi / 2) % pi,
+            lambda a: (pi - a) % pi,
+            lambda a: (3 * pi / 2 - a) % pi,
+            lambda a: (-a) % pi,
+            lambda a: (pi / 2 - a) % pi,
+        ],
+        angle,
+    )
+
+
+def _ffl_cache_path(cfg, split: str) -> str:
+    ds = cfg.experiment.dataset
+    enc = cfg.experiment.encoder
+    seg = cfg.experiment.model.loss.seg
+    mod = ("i" if bool(enc.use_images) else "") + ("l" if bool(enc.use_lidar) else "")
+    wtag = "w" if (bool(seg.get("use_dist")) or bool(seg.get("use_size"))) else ""
+    return os.path.join(ds.in_path, f"ffl_devcache_{split}_{mod}{wtag}.npz")
+
+
+def build_ffl_cache_arrays(cfg, split: str) -> tuple[dict, np.ndarray]:
+    """Pack an FFL split for device residence: uint8 images, the raw uint8 GT
+    rasters exactly as the per-tile ffl_cache stores them (gt_polygons_image
+    interior/edge/vertex, gt_crossfield_angle normal-angle field — both
+    D4-moved and converted on device), f16 distance/size weight maps only
+    when the cfg-gated seg-loss weighting needs them, f32 lidar. Returns
+    (arrays, class_freq)."""
+    from .synthetic import ensure_synthetic_dataset
+
+    ensure_synthetic_dataset(cfg)
+    path = _ffl_cache_path(cfg, split)
+    ds = P3Dataset(cfg, split)
+    class_freq = (
+        ds.class_freq if ds.class_freq is not None else np.array([0.9, 0.1], np.float32)
+    )
+    if os.path.isfile(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}, class_freq
+
+    n = len(ds)
+    seg = cfg.experiment.model.loss.seg
+    need_w = bool(seg.get("use_dist")) or bool(seg.get("use_size"))
+    H, W = int(cfg.experiment.encoder.in_height), int(cfg.experiment.encoder.in_width)
+
+    images = np.zeros((n, H, W, 3), np.uint8) if ds.use_images else None
+    poly = np.zeros((n, H, W, 3), np.uint8)
+    angle = np.zeros((n, H, W), np.uint8)
+    dist = np.zeros((n, H, W), np.float16) if need_w else None
+    sizes = np.zeros((n, H, W), np.float16) if need_w else None
+    image_id = np.zeros((n,), np.int32)
+    raw_pts: list = [None] * n if ds.use_lidar else []
+
+    import concurrent.futures as cf
+
+    def pack_one(idx: int) -> None:
+        info = ds.coco.imgs[ds.tile_ids[idx]]
+        if ds.use_images:
+            images[idx] = ds._image(info)
+        if ds.use_lidar:
+            raw_pts[idx] = ds._lidar(info)[: ds.max_points]
+        image_id[idx] = info["id"]
+        gt = ds._ffl_gt(info)
+        poly[idx] = gt["gt_polygons_image"]
+        angle[idx] = gt["gt_crossfield_angle"]
+        if need_w:
+            dist[idx] = gt["distances"].astype(np.float16)
+            sizes[idx] = gt["sizes"].astype(np.float16)
+
+    with cf.ThreadPoolExecutor(16) as ex:
+        list(ex.map(pack_one, range(n)))
+
+    arrays = {"poly": poly, "angle": angle, "image_id": image_id}
+    if need_w:
+        arrays["dist"] = dist
+        arrays["sizes"] = sizes
+    if ds.use_images:
+        arrays["images"] = images
+    if ds.use_lidar:
+        counts = np.asarray([len(p) for p in raw_pts], np.int32)
+        cap = int(min(ds.max_points, ((int(counts.max()) + 1023) // 1024) * 1024))
+        lidar = np.zeros((n, cap, 3), np.float32)
+        for i, p in enumerate(raw_pts):
+            k = min(len(p), cap)
+            lidar[i, :k] = p[:k]
+        arrays["lidar"] = lidar
+        arrays["lidar_n"] = np.minimum(counts, cap)
+    np.savez(path, **arrays)
+    logger.info(f"packed {split} ffl device cache ({n} tiles) → {path}")
+    return arrays, class_freq
+
+
+class FFLDeviceCache(_DeviceCacheBase):
+    """Device-resident FFL split: the host loader's ~1 s/step tunnel tax was
+    the round-4 blocker for the FFL lidar/fusion grid cells (463 s/epoch on
+    xl; VERDICT r4 weak #4). Dense GT rides as raw uint8 rasters; D4 moves +
+    angle-value rotation + unit conversion happen inside the jitted batcher
+    with arithmetic identical to P3Dataset._item_ffl."""
+
+    def _build_arrays(self) -> dict:
+        arrays, self.class_freq = build_ffl_cache_arrays(self.cfg, self.split)
+        return arrays
+
+    def _build_batch_fn(self):
+        use_images, use_lidar = self.use_images, self.use_lidar
+        is_train = self.is_train
+        cf = jnp.asarray(self.class_freq, jnp.float32)
+
+        @jax.jit
+        def fn(dev, idxs, d4, jitter, sigma, rng):
+            batch = {}
+            if use_images:
+                batch["images"] = self._augment_images_dev(
+                    dev["images"][idxs], d4, jitter, sigma, rng
+                )
+            if use_lidar:
+                batch["lidar"], batch["lidar_mask"] = self._lidar_batch_dev(
+                    dev, idxs, d4, rng
+                )
+            B = idxs.shape[0]
+            poly = jax.vmap(_d4_image)(dev["poly"][idxs], d4).astype(jnp.float32) / 255.0
+            batch["gt_polygons_image"] = jnp.transpose(poly, (0, 3, 1, 2))
+            ang = jax.vmap(_d4_image)(dev["angle"][idxs], d4).astype(jnp.float32)
+            ang = ang * jnp.float32(np.pi) / 255.0
+            # stored field is normals; rotate to tangents (dataset.py _item_ffl)
+            ang = (ang + jnp.float32(np.pi) / 2) % jnp.float32(np.pi)
+            if is_train:
+                ang = jax.vmap(_d4_angle_value)(ang, d4)
+            batch["gt_crossfield_angle"] = ang[:, None]
+            if "dist" in dev:
+                batch["distances"] = jax.vmap(_d4_image)(
+                    dev["dist"][idxs], d4
+                ).astype(jnp.float32)[:, None]
+            if "sizes" in dev:
+                batch["sizes"] = jax.vmap(_d4_image)(
+                    dev["sizes"][idxs], d4
+                ).astype(jnp.float32)[:, None]
+            batch["class_freq"] = jnp.broadcast_to(cf, (B, cf.shape[0]))
             return batch
 
         return fn

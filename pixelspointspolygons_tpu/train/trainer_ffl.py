@@ -40,8 +40,29 @@ class FFLTrainer(Trainer):
         self.train_loader = build_loader(cfg, "train")
         self.val_loader = build_loader(cfg, "val")
 
+        # device-resident dataset fast path (single-chip); same opt-in knob
+        # as Pix2Poly/HiSup (training.device_cache) — data/device_cache.py
+        self.cache = None
+        dc = str(cfg.training.get("device_cache") or "false").lower()
+        if dc in ("auto", "true", "1"):
+            from ..data.device_cache import CacheFitError, FFLDeviceCache
+
+            try:
+                self.cache = {
+                    "train": FFLDeviceCache(cfg, "train", self.mesh),
+                    "val": FFLDeviceCache(cfg, "val", self.mesh),
+                }
+            except (NotImplementedError, ValueError) as e:
+                if dc != "auto" and not isinstance(e, CacheFitError):
+                    raise
+                self.cache = None
+                self.logger.warning(f"device cache unavailable ({e}); host loader")
+
         m = cfg.experiment.model
-        total_steps = len(self.train_loader) * int(m.num_epochs)
+        steps_per_epoch = (
+            len(self.cache["train"]) if self.cache else len(self.train_loader)
+        )
+        total_steps = steps_per_epoch * int(m.num_epochs)
         schedule = cosine_with_warmup(float(m.learning_rate), total_steps)
         tx = make_optimizer("adam", schedule)
 
@@ -93,12 +114,22 @@ class FFLTrainer(Trainer):
         return {k: jnp.float32(v) for k, v in self._weights_for_epoch(epoch).items()}
 
     def train_one_epoch(self, epoch: int) -> dict:
-        self.train_loader.set_epoch(epoch)
         weights = self._epoch_weights(epoch)
         records = []
-        filtered = ({k: v for k, v in b.items() if k in FFL_BATCH_KEYS} for b in self.train_loader)
         norms = self._norm_tracker.norms() if self._normalize else None
-        for batch in device_prefetch(filtered, self.mesh):
+        if self.cache:
+            batches = (
+                {k: b[k] for k in FFL_BATCH_KEYS if k in b}
+                for b in self.cache["train"].epoch_batches(epoch)
+            )
+        else:
+            self.train_loader.set_epoch(epoch)
+            filtered = (
+                {k: v for k, v in b.items() if k in FFL_BATCH_KEYS}
+                for b in self.train_loader
+            )
+            batches = device_prefetch(filtered, self.mesh)
+        for batch in batches:
             if self._normalize:
                 self.state, metrics = self._train_step(self.state, batch, weights, norms)
             else:
@@ -115,9 +146,14 @@ class FFLTrainer(Trainer):
     def val_one_epoch(self, epoch: int) -> dict:
         weights = self._epoch_weights(epoch)
         records = []
-        for batch in self.val_loader:
-            b = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
-            records.append(self._val_step(self.state, self.shard(b), weights))
+        if self.cache:
+            for b in self.cache["val"].epoch_batches(epoch):
+                dev = {k: b[k] for k in FFL_BATCH_KEYS if k in b}
+                records.append(self._val_step(self.state, dev, weights))
+        else:
+            for batch in self.val_loader:
+                b = {k: v for k, v in batch.items() if k in FFL_BATCH_KEYS}
+                records.append(self._val_step(self.state, self.shard(b), weights))
         return self.summarize_deferred(records)
 
     def predict_and_eval(self, epoch: int) -> float:

@@ -47,7 +47,7 @@ class Pix2PolyTrainer(Trainer):
         self.cache = None
         dc = str(cfg.training.get("device_cache") or "false").lower()
         if dc in ("auto", "true", "1"):
-            from ..data.device_cache import P2PDeviceCache
+            from ..data.device_cache import CacheFitError, P2PDeviceCache
 
             try:
                 self.cache = {
@@ -55,9 +55,13 @@ class Pix2PolyTrainer(Trainer):
                     "val": P2PDeviceCache(cfg, "val", self.tokenizer, self.mesh),
                 }
             except (NotImplementedError, ValueError) as e:
-                if dc != "auto":
+                # an oversized cache falls back to the host loader even when
+                # device_cache=true — dying in RESOURCE_EXHAUSTED after the
+                # upload helps nobody (round-4 HiSup-fusion failure mode)
+                if dc != "auto" and not isinstance(e, CacheFitError):
                     raise
-                self.logger.info(f"device cache unavailable ({e}); host loader")
+                self.cache = None
+                self.logger.warning(f"device cache unavailable ({e}); host loader")
 
         m = cfg.experiment.model
         steps_per_epoch = (

@@ -168,18 +168,35 @@ def save_best_and_latest(
     save_every: int = 10,
 ) -> dict:
     """The reference's best/latest/epoch_N policy (trainer.py:126-148)."""
+    # Every rank must reach the same save/skip decision or orbax's internal
+    # cross-process save barriers hang (see CheckpointManager.save). Val
+    # metrics are global by construction, but rather than rely on bitwise
+    # agreement of host-side float reductions, all ranks adopt rank 0's
+    # decision explicitly.
+    decision = {
+        "save_loss": bool(cfg.training.save_best and val_loss < best.get("val_loss", np.inf)),
+        "save_iou": bool(
+            cfg.training.save_best and val_iou is not None and val_iou > best.get("val_iou", 0.0)
+        ),
+        "val_loss": float(val_loss),
+        "val_iou": None if val_iou is None else float(val_iou),
+    }
+    if jax.process_count() > 1:
+        from ..parallel import all_gather_objects
+
+        decision = all_gather_objects(decision)[0]
     extra = {
         "best_val_loss": best.get("val_loss", np.inf),
         "best_val_iou": best.get("val_iou", 0.0),
     }
     if cfg.training.save_latest:
         manager.save("latest", state, epoch, cfg, extra)
-    if cfg.training.save_best and val_loss < best.get("val_loss", np.inf):
-        best["val_loss"] = float(val_loss)
+    if decision["save_loss"]:
+        best["val_loss"] = decision["val_loss"]
         extra["best_val_loss"] = best["val_loss"]
         manager.save("best_val_loss", state, epoch, cfg, extra)
-    if cfg.training.save_best and val_iou is not None and val_iou > best.get("val_iou", 0.0):
-        best["val_iou"] = float(val_iou)
+    if decision["save_iou"]:
+        best["val_iou"] = decision["val_iou"]
         extra["best_val_iou"] = best["val_iou"]
         manager.save("best_val_iou", state, epoch, cfg, extra)
     if save_every and epoch % save_every == 0:

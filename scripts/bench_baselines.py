@@ -287,7 +287,19 @@ def main() -> None:
     if os.path.isfile(path):
         with open(path) as f:
             table = json.load(f)
+    allow_tiny = os.environ.get("BENCH_ALLOW_TINY") == "1"
     for name, row in results.items():
+        # a probe from <8 tiles is not evidence (VERDICT r4 weak #1: a 2-tile
+        # HiSup probe produced a 180× discrepancy vs the production row) —
+        # refuse to publish it unless explicitly forced
+        if "error" not in row and B < 8 and not allow_tiny:
+            print(
+                f"  NOT writing {name}.reference_probe: BENCH_BATCH={B} < 8 "
+                "tiles (set BENCH_ALLOW_TINY=1 to force)",
+                file=sys.stderr,
+            )
+            continue
+        row = dict(row, tiles=B) if "error" not in row else row
         table.setdefault(name, {})["reference_probe"] = row
     with open(path, "w") as f:
         json.dump(table, f, indent=2)

@@ -13,19 +13,26 @@ import csv
 import os
 
 RUNS = [
-    # (model-dir, run-name, model, modality, train tiles, alt_csv) — alt_csv
-    # is a committed results CSV used when the live run dir is gone (the
-    # round-4 container restart wiped outputs/; image-cell proofs were
-    # evaluated and committed earlier: round-4 p2p_image_xxl, round-3
-    # ffl_image_xl + hisup image (256-tile run)).
-    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384, "docs/results_round4/p2p_image_xxl_{split}.csv"),
-    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048, "docs/results_round4/p2p_lidar_xl_{split}.csv"),
-    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048, "docs/results_round4/p2p_fusion_xl_{split}.csv"),
-    ("hisup", "hisup_image_xl", "HiSup", "image", 256, "docs/results_round3/hisup_{split}.csv"),
+    # (model-dir, run-name, model, modality, live train tiles, alt) — alt =
+    # (csv template, its train tiles, its run label): a committed results CSV
+    # used when the live run dir is gone (container restarts wipe outputs/),
+    # carrying ITS OWN provenance so a fallback row is never mislabeled with
+    # the live run's name/tile count (or vice versa).
+    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384,
+     ("docs/results_round4/p2p_image_xxl_{split}.csv", 16384, "p2p_image_xxl")),
+    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048,
+     ("docs/results_round4/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl")),
+    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048,
+     ("docs/results_round4/p2p_fusion_xl_{split}.csv", 2048, "p2p_fusion_xl")),
+    ("hisup", "hisup_image_xl", "HiSup", "image", 2048,
+     ("docs/results_round3/hisup_{split}.csv", 256, "hisup_image")),
     ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
-    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048, "docs/results_round4/hisup_fusion_xl_{split}.csv"),
-    ("ffl", "ffl_image_xl", "FFL", "image", 2048, "docs/results_round3/ffl_xl_{split}.csv"),
-    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048, "docs/results_round4/ffl_lidar_xl_{split}.csv"),
+    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048,
+     ("docs/results_round4/hisup_fusion_xl_{split}.csv", 2048, "hisup_fusion_xl")),
+    ("ffl", "ffl_image_xl", "FFL", "image", 2048,
+     ("docs/results_round3/ffl_xl_{split}.csv", 2048, "ffl_image_xl")),
+    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048,
+     ("docs/results_round4/ffl_lidar_xl_{split}.csv", 2048, "ffl_lidar_xl")),
     ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048, None),
 ]
 
@@ -42,9 +49,10 @@ def main() -> None:
 
     rows = []
     for mdir, name, model, modality, ntrain, alt in RUNS:
+        run_label = name
         path = os.path.join(args.root, mdir, "224", name, "results", f"metrics_{args.split}.csv")
         if not os.path.exists(path) and alt:
-            path = alt.format(split=args.split)
+            path, ntrain, run_label = alt[0].format(split=args.split), alt[1], alt[2]
         if not os.path.exists(path):
             rows.append({"model": model, "modality": modality, "run": name, "status": "missing"})
             continue
@@ -52,7 +60,7 @@ def main() -> None:
             # last row = most recent eval of this run
             recs = list(csv.DictReader(f))
         rec = recs[-1]
-        row = {"model": model, "modality": modality, "run": name, "train_tiles": ntrain}
+        row = {"model": model, "modality": modality, "run": run_label, "train_tiles": ntrain}
         for c in COLS:
             v = rec.get(c, "")
             try:
@@ -82,15 +90,19 @@ def main() -> None:
     print(f"\nwrote {out_csv}")
 
     if args.splice:
-        marker = "<!-- GRID_TABLE -->"
+        import re
+
         with open(args.splice) as f:
             doc = f.read()
-        start = doc.index(marker)
-        end = doc.index("<!-- /GRID_TABLE -->", start) if "<!-- /GRID_TABLE -->" in doc else start + len(marker)
-        doc = doc[:start] + marker + "\n" + table + "\n<!-- /GRID_TABLE -->" + doc[end if end == start + len(marker) else end + len("<!-- /GRID_TABLE -->"):]
-        with open(args.splice, "w") as f:
-            f.write(doc)
-        print(f"spliced table into {args.splice}")
+        pattern = re.compile(r"<!-- GRID_TABLE -->.*?(<!-- /GRID_TABLE -->|\Z)", re.S)
+        if not pattern.search(doc):
+            print(f"WARNING: no <!-- GRID_TABLE --> marker in {args.splice}; not spliced")
+        else:
+            repl = "<!-- GRID_TABLE -->\n" + table + "\n<!-- /GRID_TABLE -->"
+            doc = pattern.sub(lambda m: repl, doc, count=1)
+            with open(args.splice, "w") as f:
+                f.write(doc)
+            print(f"spliced table into {args.splice}")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,12 @@ def main() -> None:
         predictor.predict_dataset(split)
         times.append(time.time() - t0)
     n = int(cfg.experiment.dataset.get(f"num_{split}") or 0)
+    if not n:
+        # num_{split} only exists on the synthetic dataset config; real
+        # datasets (p3/inria) report the actual tile count of the split
+        from pixelspointspolygons_tpu.data.dataset import P3Dataset
+
+        n = len(P3Dataset(cfg, split, eval_mode=True))
     warm = sorted(times)[len(times) // 2]
     print(json.dumps({
         "experiment": str(cfg.experiment.name),

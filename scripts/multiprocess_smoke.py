@@ -134,7 +134,9 @@ def worker(pid: int, nproc: int, port: int) -> None:
     assert len(gathered) == nproc
     assert [len(c) for c in gathered] == list(range(1, nproc + 1))
 
-    print(f"MULTIPROC OK rank={pid} devices={n_global} loss={loss:.4f}", flush=True)
+    # one atomic write: both ranks share the parent's stdout pipe, and two
+    # buffered print()s can interleave mid-line, breaking the test's parse
+    os.write(1, f"MULTIPROC OK rank={pid} devices={n_global} loss={loss:.4f}\n".encode())
 
 
 if __name__ == "__main__":

@@ -183,6 +183,120 @@ def test_hisup_device_cache_fusion_val(tmp_path_factory):
         np.testing.assert_allclose(dp, hp, atol=1e-4)
 
 
+def _ffl_cfg(tmp_path_factory, experiment="ffl_image", extra=()):
+    root = tmp_path_factory.mktemp("devcache_ffl")
+    os.environ["P3_DATASET_ROOT"] = str(root / "data")
+    os.environ["P3_MODEL_ROOT"] = str(root / "out")
+    return compose(
+        [
+            f"experiment={experiment}",
+            "dataset=synthetic",
+            "run_type=debug",
+            "experiment.dataset.num_train=6",
+            "experiment.dataset.num_val=3",
+            "experiment.dataset.num_test=2",
+            "run_type.train_subset=null",
+            "run_type.val_subset=null",
+            "run_type.test_subset=null",
+            "experiment.model.batch_size=3",
+            "experiment.encoder.in_size=64",
+            "experiment.model.decoder.in_feature_size=64",
+            "experiment.model.decoder.in_feature_dim=64",
+            "experiment.encoder.patch_feature_dim=96",
+            "experiment.encoder.max_num_points=256",
+            "experiment.encoder.augmentations=[D4,Normalize]",
+            "run_type.name=release",
+            "run_type.num_workers=0",
+            *extra,
+        ]
+    )
+
+
+def test_ffl_device_cache_matches_host_loader(tmp_path_factory):
+    """FFL cache parity: on-device D4 of the GT rasters + the angle-value
+    rotation must replay the host loader's _item_ffl arithmetic (rasters are
+    exact uint8 moves; angles/images to f32 tolerance)."""
+    cfg = _ffl_cfg(
+        tmp_path_factory,
+        extra=(
+            # exercise the cfg-gated weight maps (f16 in the cache)
+            "experiment.model.loss.seg.use_dist=true",
+            "experiment.model.loss.seg.use_size=true",
+        ),
+    )
+    from pixelspointspolygons_tpu.data.device_cache import FFLDeviceCache
+    from pixelspointspolygons_tpu.data.loader import build_loader
+
+    mesh = make_mesh(n_devices=1)
+    cache = FFLDeviceCache(cfg, "train", mesh)
+    loader = build_loader(cfg, "train")
+    for epoch in (0, 1):
+        loader.set_epoch(epoch)
+        host_batches = list(loader)
+        dev_batches = list(cache.epoch_batches(epoch))
+        assert len(dev_batches) == len(host_batches)
+        for hb, db in zip(host_batches, dev_batches):
+            np.testing.assert_array_equal(
+                np.asarray(db["gt_polygons_image"]), hb["gt_polygons_image"]
+            )
+            np.testing.assert_allclose(
+                np.asarray(db["gt_crossfield_angle"]),
+                hb["gt_crossfield_angle"],
+                atol=1e-5,
+            )
+            # f16 storage: |err| ≤ 2^-11 on [0, 1] values
+            np.testing.assert_allclose(
+                np.asarray(db["distances"]), hb["distances"], atol=1e-3
+            )
+            np.testing.assert_allclose(np.asarray(db["sizes"]), hb["sizes"], atol=1e-3)
+            np.testing.assert_allclose(
+                np.asarray(db["class_freq"]), hb["class_freq"], atol=1e-6
+            )
+            np.testing.assert_array_equal(db["image_id"], hb["image_id"])
+            np.testing.assert_allclose(np.asarray(db["images"]), hb["images"], atol=1e-5)
+
+
+def test_ffl_device_cache_lidar_val(tmp_path_factory):
+    """FFL lidar modality through the cache; val split must match the host
+    loader exactly (no augmentation, point sets equal up to order)."""
+    cfg = _ffl_cfg(tmp_path_factory, experiment="ffl_lidar")
+    from pixelspointspolygons_tpu.data.device_cache import FFLDeviceCache
+    from pixelspointspolygons_tpu.data.loader import build_loader
+
+    mesh = make_mesh(n_devices=1)
+    cache = FFLDeviceCache(cfg, "val", mesh)
+    loader = build_loader(cfg, "val")
+    hb = next(iter(loader))
+    db = next(iter(cache.epoch_batches(0)))
+    np.testing.assert_array_equal(
+        np.asarray(db["gt_polygons_image"]), hb["gt_polygons_image"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(db["gt_crossfield_angle"]), hb["gt_crossfield_angle"], atol=1e-5
+    )
+    assert "distances" not in db  # use_dist/use_size off → weight maps not packed
+    np.testing.assert_array_equal(db["sample_valid"], hb["sample_valid"])
+    nh = hb["lidar_mask"].sum(1)
+    nd = np.asarray(db["lidar_mask"]).sum(1)
+    np.testing.assert_array_equal(nd, nh)
+    for b in range(len(nh)):
+        hp = np.sort(hb["lidar"][b][hb["lidar_mask"][b]], axis=0)
+        dp = np.sort(np.asarray(db["lidar"])[b][np.asarray(db["lidar_mask"])[b]], axis=0)
+        np.testing.assert_allclose(dp, hp, atol=1e-4)
+
+
+def test_cache_fit_check(tmp_path_factory, monkeypatch):
+    """An oversized cache must raise CacheFitError BEFORE uploading (the
+    trainers turn this into a host-loader fallback instead of dying in
+    RESOURCE_EXHAUSTED mid-run)."""
+    cfg = _ffl_cfg(tmp_path_factory)
+    from pixelspointspolygons_tpu.data import device_cache
+
+    monkeypatch.setattr(device_cache, "_device_memory_budget", lambda d: 100_000)
+    with pytest.raises(device_cache.CacheFitError):
+        device_cache.FFLDeviceCache(cfg, "train", make_mesh(n_devices=1))
+
+
 def test_perm_factorization_roundtrip(cfg):
     from pixelspointspolygons_tpu.data.dataset import P3Dataset, build_perm_targets
     from pixelspointspolygons_tpu.data.device_cache import perm_factorize, perm_rebuild

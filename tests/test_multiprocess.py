@@ -10,6 +10,7 @@ groups (misc/shared_utils.py:205-230).
 """
 
 import os
+import re
 import subprocess
 import sys
 
@@ -88,7 +89,10 @@ def test_two_process_distributed_smoke():
         env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
     )
     assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
-    oks = [l for l in out.stdout.splitlines() if l.startswith("MULTIPROC OK")]
+    # regex parse instead of line-splitting: even with the atomic child
+    # writes, any future interleaving must not flake the suite (VERDICT r4
+    # weak #8 — two ranks' prints once merged onto one line)
+    oks = re.findall(r"MULTIPROC OK rank=\d+ devices=\d+ loss=[\d.]+", out.stdout)
     assert len(oks) == 2, out.stdout
     # both ranks computed the same global loss (grad sync across processes)
     losses = {l.split("loss=")[1] for l in oks}
