@@ -55,10 +55,22 @@ class HiSupPredictor(Predictor):
             v["batch_stats"] = payload["batch_stats"]
         return v
 
-    def predict_batch(self, variables, batch: dict):
+    def predict_batch(self, variables, batch: dict, reference_mirror: bool = False):
+        """reference_mirror=True routes the host stage through the
+        full-tile/loop-per-point tracing that mirrors the reference's
+        polygon.py cost shape — ONLY for the same-chip baseline probe
+        (scripts/bench_baselines.py); outputs are identical either way."""
         inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
         inputs = shard_batch(inputs, self.mesh)
-        remask, juncs, scores = self._forward(variables, inputs)
+        handles = self._forward(variables, inputs)
+        return self._host_stage(handles, reference_mirror)
+
+    def _host_stage(self, handles, reference_mirror: bool = False):
+        """Materialize a forward's outputs and run the host polygonization.
+        Separated from the device dispatch so predict_dataset can keep one
+        forward in flight (double buffering — batch k's host tracing overlaps
+        batch k+1's device compute, same pattern as predictor_pix2poly)."""
+        remask, juncs, scores = handles
         # local rows only under multi-process SPMD (parallel.local_values)
         from ..parallel import local_values
 
@@ -73,7 +85,10 @@ class HiSupPredictor(Predictor):
             mask = cv2.resize(remask[b], (self.in_size, self.in_size))
             jb = juncs[b][scores[b] > 0] * scale
             polys, pscores = polygons_from_masks(
-                mask, jb, dp_tol=getattr(self, "dp_tolerance", 1.0)
+                mask,
+                jb,
+                dp_tol=getattr(self, "dp_tolerance", 1.0),
+                reference_mirror=reference_mirror,
             )
             all_polys.append(polys)
             all_scores.append(pscores)
@@ -88,8 +103,10 @@ class HiSupPredictor(Predictor):
         predictions: list[dict] = []
         t0 = time.time()
         n_images = 0
-        for batch in loader:
-            polys, scores = self.predict_batch(variables, batch)
+
+        def consume(handles, batch):
+            nonlocal n_images
+            polys, scores = self._host_stage(handles)
             for b in range(len(polys)):
                 if not batch["sample_valid"][b]:
                     continue
@@ -97,6 +114,18 @@ class HiSupPredictor(Predictor):
                     generate_coco_ann(polys[b], int(batch["image_id"][b]), scores[b])
                 )
                 n_images += 1
+
+        # double buffering: dispatch batch k+1's forward before materializing
+        # batch k, so host transfer+tracing overlap device compute
+        pending = None
+        for batch in loader:
+            inputs = {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
+            handles = self._forward(variables, shard_batch(inputs, self.mesh))
+            if pending is not None:
+                consume(*pending)
+            pending = (handles, batch)
+        if pending is not None:
+            consume(*pending)
         dt = (time.time() - t0) / max(n_images, 1)
         self.logger.info(f"prediction: {dt:.4f} [s/image] over {n_images} images")
         pred_file = self.cfg.evaluation.pred_file

@@ -249,7 +249,7 @@ def bench_hisup() -> dict:
 
     def reference_shape():
         for s in singles:
-            predictor.predict_batch(variables, s)
+            predictor.predict_batch(variables, s, reference_mirror=True)
 
     ref_t, ref_spread = timed(reference_shape, iters=1)
     return {
@@ -260,9 +260,11 @@ def bench_hisup() -> dict:
         "reference_spread_pct": round(ref_spread, 1),
         "vs_baseline": ref_t / prod_t,
         "note": (
-            "production = mini-batched jitted NMS/top-k + host tracing; "
-            "reference shape = identical path at batch 1, images sequential "
-            "(model_hisup.py test branch polygonizes per image)"
+            "production = mini-batched jitted NMS/top-k + bbox-cropped "
+            "vectorized host tracing; reference shape = batch 1, images "
+            "sequential, full-tile loop-per-point tracing mirroring "
+            "models/hisup/polygon.py (output-identical — tests/test_hisup.py "
+            "pins mirror == production)"
         ),
     }
 

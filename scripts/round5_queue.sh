@@ -40,6 +40,12 @@ evalrun () {
   local EXP=$1 NAME=$2 MDIR=$3 SPLIT=$4 CAP=$5; shift 5
   local L=$(left); local TMO=$(( L < CAP ? L : CAP ))
   if [ "$TMO" -lt 240 ]; then echo "[$(stamp)] QUEUE-SKIP eval $NAME $SPLIT (deadline)"; return; fi
+  # only evaluate cells whose round-5 train box ran (completed or hit its
+  # timeout); a crashed train leaves stale garbage checkpoints not worth
+  # 10+ min of part-trained decode
+  if [ ! -f "$LOGD/trained_${NAME}.ok" ]; then
+    echo "[$(stamp)] QUEUE-SKIP eval $NAME $SPLIT (train did not run this round)"; return
+  fi
   local ORDER="best_val_iou latest best_val_loss"
   [ "$MDIR" = pix2poly ] && ORDER="latest best_val_iou best_val_loss"
   local CKPT=$(pick_ckpt "$CK/$MDIR/224/$NAME/checkpoints" $ORDER)
@@ -75,9 +81,17 @@ trainrun () {
   timeout $TMO nice -n -10 python scripts/train.py experiment=$EXP dataset=synthetic \
     run_type=release $XL experiment.model.num_epochs=$EPOCHS \
     training.val_every=$VE evaluation.batch_size=32 experiment.name=$NAME $INITARG "$@" \
-    >"$LOGD/train_${NAME}.log" 2>&1 \
-    && echo "[$(stamp)] QUEUE-OK train $NAME" \
-    || echo "[$(stamp)] QUEUE-FAIL train $NAME (rc=$?; see $LOGD/train_${NAME}.log)"
+    >"$LOGD/train_${NAME}.log" 2>&1
+  local RC=$?
+  # rc 0 = schedule completed; rc 124/143 = box timeout (normal for the long
+  # AR cells — training progressed, checkpoints are fresh). Anything else is
+  # a crash: no ok-marker, downstream eval skipped.
+  if [ "$RC" -eq 0 ] || [ "$RC" -eq 124 ] || [ "$RC" -eq 143 ]; then
+    touch "$LOGD/trained_${NAME}.ok"
+    echo "[$(stamp)] QUEUE-OK train $NAME (rc=$RC)"
+  else
+    echo "[$(stamp)] QUEUE-FAIL train $NAME (rc=$RC; see $LOGD/train_${NAME}.log)"
+  fi
 }
 
 B8="experiment.model.batch_size=8"
@@ -85,9 +99,10 @@ B4="experiment.model.batch_size=4"
 FFLW=$CK/ffl/224/ffl_image_xl/checkpoints
 
 # ---- 1) Pix2Poly LiDAR (graded #2): resume round-4 epoch-13 state, ~3h box.
-# Round 4 ran this cell at batch 16 (the v5e OOMs were HiSup pillar cells) —
-# keep the same batch so the resumed schedule stays consistent.
-trainrun p2p_lidar p2p_lidar_xl 140 10500 45 resume:latest "experiment.model.batch_size=16" training.device_cache=true
+# batch 8: the batch-16 resume OOM'd on the first step (resume transients on
+# top of the resident cache; round 4's cold start at 16 fit, the resume does
+# not) — see outputs/round5_logs/train_p2p_lidar_xl.log from the first launch.
+trainrun p2p_lidar p2p_lidar_xl 120 10500 45 resume:latest "$B8" training.device_cache=true
 evalrun  p2p_lidar p2p_lidar_xl pix2poly val  1100
 evalrun  p2p_lidar p2p_lidar_xl pix2poly test 1100
 

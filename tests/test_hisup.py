@@ -165,3 +165,57 @@ class TestHostPolygonization:
         poly = np.array([[0, 0], [5, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
         out = simple_polygon(poly)
         assert len(out) - 1 == 4  # collinear (5,0) dropped
+
+
+class TestPolygonizationMirrorIdentity:
+    """The vectorized, bbox-cropped production tracing must be
+    OUTPUT-IDENTICAL to the full-tile loop-per-point reference mirror (the
+    mirror is also bench_baselines' same-chip probe baseline, so this test is
+    what makes that probe honest)."""
+
+    def _random_blob_mask(self, seed, H=96, W=96, n_blobs=6):
+        import cv2
+
+        rng = np.random.RandomState(seed)
+        m = np.zeros((H, W), np.float32)
+        for _ in range(n_blobs):
+            x, y = rng.randint(5, W - 20), rng.randint(5, H - 20)
+            w, h = rng.randint(4, 18), rng.randint(4, 18)
+            m[y : y + h, x : x + w] = rng.uniform(0.6, 1.0)
+            if rng.rand() < 0.5:  # rotated blob → diagonal staircase edges
+                c = ((x + w / 2), (y + h / 2))
+                rot = cv2.getRotationMatrix2D(c, rng.uniform(10, 80), 1.0)
+                m = cv2.warpAffine(m, rot, (W, H))
+        if rng.rand() < 0.5:  # punch holes
+            m[
+                H // 3 : H // 3 + rng.randint(8, 12),
+                W // 3 : W // 3 + rng.randint(8, 12),
+            ] = 0.0
+        return m
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_identical_outputs(self, seed):
+        rng = np.random.RandomState(1000 + seed)
+        mask = self._random_blob_mask(seed)
+        juncs = rng.uniform(0, 96, size=(30, 2))
+        fast_p, fast_s = polygons_from_masks(mask, juncs)
+        ref_p, ref_s = polygons_from_masks(mask, juncs, reference_mirror=True)
+        assert len(fast_p) == len(ref_p)
+        np.testing.assert_allclose(fast_s, ref_s, atol=0)
+        for a, b in zip(fast_p, ref_p):
+            np.testing.assert_array_equal(a, b)
+
+    def test_diagonal_to_square_identity(self):
+        # all 8 unit steps incl. the 4 diagonal cases
+        ring = np.array(
+            [[5, 5], [6, 6], [7, 6], [8, 5], [8, 4], [7, 3], [6, 3], [5, 4], [5, 5]],
+            np.int64,
+        )
+        from pixelspointspolygons_tpu.predict.hisup_polygon import (
+            diagonal_to_square,
+            diagonal_to_square_loop,
+        )
+
+        np.testing.assert_array_equal(
+            diagonal_to_square(ring), diagonal_to_square_loop(ring)
+        )
