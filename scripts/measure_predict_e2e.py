@@ -46,6 +46,7 @@ def main() -> None:
         "warm_tiles_per_s": round(n / warm, 2) if n else None,
         "spread_pct": round(100 * (max(times) - min(times)) / warm, 1),
         "batch_size": cfg.evaluation.get("batch_size"),
+        "checkpoint": str(cfg.get("checkpoint") or ""),
     }))
 
 
