@@ -219,3 +219,77 @@ class TestPolygonizationMirrorIdentity:
         np.testing.assert_array_equal(
             diagonal_to_square(ring), diagonal_to_square_loop(ring)
         )
+
+
+class TestPredictDoubleBuffering:
+    """predict_dataset keeps exactly one forward in flight: batch k+1 is
+    dispatched BEFORE batch k's host stage runs, and results stay in loader
+    order (the overlap must never reorder or drop tiles)."""
+
+    def test_dispatch_overlaps_consume(self, tmp_path, monkeypatch):
+        import os
+
+        os.environ["P3_DATASET_ROOT"] = str(tmp_path / "data")
+        os.environ["P3_MODEL_ROOT"] = str(tmp_path / "out")
+        from pixelspointspolygons_tpu.config import compose
+        from pixelspointspolygons_tpu.predict import predictor_hisup as mod
+
+        cfg = compose(
+            [
+                "experiment=hisup_image",
+                "dataset=synthetic",
+                "run_type=debug",
+                "experiment.encoder.in_size=32",
+                "experiment.model.decoder.in_feature_size=32",
+                "experiment.model.decoder.in_feature_dim=64",
+                "experiment.encoder.patch_feature_dim=96",
+            ]
+        )
+        cfg.evaluation.pred_file = str(tmp_path / "pred.json")
+
+        predictor = mod.HiSupPredictor(cfg)
+        events = []
+
+        batches = [
+            {"images": np.zeros((2, 32, 32, 3), np.float32),
+             "sample_valid": np.array([True, True]),
+             "image_id": np.array([2 * k, 2 * k + 1])}
+            for k in range(3)
+        ]
+        ring = np.array([[1.0, 1.0], [5.0, 1.0], [5.0, 5.0], [1.0, 5.0]])
+
+        monkeypatch.setattr(predictor, "load_checkpoint", lambda: {"params": {}})
+        monkeypatch.setattr(mod, "replicate", lambda v, mesh: v)
+        monkeypatch.setattr(mod, "shard_batch", lambda b, mesh: b)
+        monkeypatch.setattr(
+            mod, "build_loader", lambda cfg, split, eval_mode=True: iter(batches)
+        )
+
+        def fake_forward(variables, inputs):
+            k = len([e for e in events if e[0] == "dispatch"])
+            events.append(("dispatch", k))
+            return ("handle", k)
+
+        def fake_host_stage(handles, reference_mirror=False):
+            _, k = handles
+            events.append(("consume", k))
+            return [[ring], [ring]], [[0.9], [0.9]]
+
+        predictor._forward = fake_forward
+        monkeypatch.setattr(predictor, "_host_stage", fake_host_stage)
+
+        pred_file = predictor.predict_dataset("val")
+
+        assert events == [
+            ("dispatch", 0),
+            ("dispatch", 1),
+            ("consume", 0),
+            ("dispatch", 2),
+            ("consume", 1),
+            ("consume", 2),
+        ]
+        import json as _json
+
+        with open(pred_file) as f:
+            anns = _json.load(f)
+        assert [a["image_id"] for a in anns] == [0, 1, 2, 3, 4, 5]
