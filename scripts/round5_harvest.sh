@@ -6,7 +6,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
-DEADLINE=${HARVEST_DEADLINE:-1787059200}
+# driver round budget ends at 1787015954+43200=1787059154; leave ~20 min for
+# the final commit + driver bench
+DEADLINE=${HARVEST_DEADLINE:-1787058000}
 LOGD=outputs/round5_logs
 CK=outputs/Synthetic_output
 E2E=$LOGD/predict_e2e.jsonl
