@@ -272,14 +272,27 @@ def greedy_generate(
     bos_code: int,
     generation_steps: int,
     raw_scores: bool = False,
+    eos_code: int | None = None,
 ):
-    """KV-cached greedy decode under `lax.scan`.
+    """KV-cached greedy decode.
 
     Produces token-identical output to the reference's full-reforward loop
     (predictor_pix2poly.py:154-211) at O(L) instead of O(L^2) decoder cost.
     Returns (tokens (B, T), perm_mat (B, V, V)); tokens[:, t] is the token
     generated AT step t (BOS not included).
-    """
+
+    eos_code=None (default): fixed-length `lax.scan` over generation_steps —
+    bit-for-bit the historical behavior (bench.py keeps this so headline
+    numbers stay comparable across rounds: a fixed, well-defined amount of
+    work regardless of weights).
+
+    eos_code set: `lax.while_loop` that stops as soon as EVERY sequence in
+    the batch has emitted EOS — the AR decode is latency-bound (385
+    sequential steps), and trained models emit EOS after ~50-200 tokens, so
+    the production predictor skips the dead tail. Once a row is done it
+    emits PAD and its features are zeroed (deterministic — the scan path
+    leaves garbage decoder outputs past EOS, exactly like the reference's
+    fixed-length loop; downstream masks both, see predictor assemble())."""
     enc = model.apply(variables, batch, method=Pix2Poly.encode)
     B = enc.shape[0]
     T = model.max_len - 1
@@ -288,22 +301,57 @@ def greedy_generate(
     cache_v = jnp.zeros((model.num_layers, B, T, model.dim), model.dtype)
     tokens0 = jnp.full((B, T), model.pad_idx, jnp.int32)
 
-    def body(carry, pos):
-        tok, tokens, ck, cv = carry
-        logits, feats, ck, cv = model.apply(
-            variables, tok, pos, ck, cv, memory_kv, method=Pix2Poly._decode_step
-        )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tokens = tokens.at[:, pos].set(nxt)
-        return (nxt, tokens, ck, cv), feats
+    if eos_code is None:
 
-    init = (jnp.full((B,), bos_code, jnp.int32), tokens0, cache_k, cache_v)
-    (last, tokens, _, _), feats_seq = jax.lax.scan(
-        body, init, jnp.arange(generation_steps)
-    )
-    feats = jnp.moveaxis(feats_seq, 0, 1)  # (B, steps, D)
-    if feats.shape[1] < T:
-        feats = jnp.pad(feats, ((0, 0), (0, T - feats.shape[1]), (0, 0)))
+        def body(carry, pos):
+            tok, tokens, ck, cv = carry
+            logits, feats, ck, cv = model.apply(
+                variables, tok, pos, ck, cv, memory_kv, method=Pix2Poly._decode_step
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens = tokens.at[:, pos].set(nxt)
+            return (nxt, tokens, ck, cv), feats
+
+        init = (jnp.full((B,), bos_code, jnp.int32), tokens0, cache_k, cache_v)
+        (last, tokens, _, _), feats_seq = jax.lax.scan(
+            body, init, jnp.arange(generation_steps)
+        )
+        feats = jnp.moveaxis(feats_seq, 0, 1)  # (B, steps, D)
+        if feats.shape[1] < T:
+            feats = jnp.pad(feats, ((0, 0), (0, T - feats.shape[1]), (0, 0)))
+    else:
+        feats0 = jnp.zeros((B, T, model.dim), model.dtype)
+        done0 = jnp.zeros((B,), bool)
+
+        def cond(carry):
+            pos = carry[0]
+            done = carry[6]
+            return jnp.logical_and(pos < generation_steps, ~jnp.all(done))
+
+        def wbody(carry):
+            pos, tok, tokens, ck, cv, feats, done = carry
+            logits, f, ck, cv = model.apply(
+                variables, tok, pos, ck, cv, memory_kv, method=Pix2Poly._decode_step
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, model.pad_idx, nxt)
+            tokens = tokens.at[:, pos].set(nxt)
+            f = jnp.where(done[:, None], 0, f).astype(feats.dtype)
+            feats = jax.lax.dynamic_update_slice_in_dim(feats, f[:, None], pos, axis=1)
+            done = jnp.logical_or(done, nxt == eos_code)
+            return (pos + 1, nxt, tokens, ck, cv, feats, done)
+
+        init = (
+            jnp.int32(0),
+            jnp.full((B,), bos_code, jnp.int32),
+            tokens0,
+            cache_k,
+            cache_v,
+            feats0,
+            done0,
+        )
+        _, _, tokens, _, _, feats, _ = jax.lax.while_loop(cond, wbody, init)
+
     method = Pix2Poly.raw_scores_from_feats if raw_scores else Pix2Poly.perm_from_feats
     perm = model.apply(variables, feats, method=method)
     return tokens, perm

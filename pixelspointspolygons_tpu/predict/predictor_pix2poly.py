@@ -103,6 +103,10 @@ class Pix2PolyPredictor(Predictor):
                 bos_code=self.tokenizer.BOS_code,
                 generation_steps=int(cfg.experiment.model.tokenizer.generation_steps),
                 raw_scores=True,
+                # early exit: stop decoding once every sequence in the batch
+                # emitted EOS (the AR decode is latency-bound; trained models
+                # finish in ~50-200 of the 385 steps)
+                eos_code=self.tokenizer.EOS_code,
             )
         )
 
@@ -135,7 +139,6 @@ class Pix2PolyPredictor(Predictor):
 
         tokens = local_values(tokens)
         scores = local_values(scores, np.float32)
-        perm = scores_to_permutations(scores)
 
         B = tokens.shape[0]
         nmax = self.tokenizer.max_num_vertices
@@ -148,6 +151,17 @@ class Pix2PolyPredictor(Predictor):
             if n:
                 vertices[b, :n] = coords[:n, ::-1]  # → (x, y)
             counts[b] = n
+            # bias the region past the decoded vertex count to self-link
+            # BEFORE Hungarian: decoder features there are junk (zeroed under
+            # the early-exit decode, raw garbage under the fixed-length one —
+            # the reference runs Hungarian on that garbage, letting it steal
+            # valid columns), so pin the assignment to the valid block
+            scores[b, n:, :] = -1e9
+            scores[b, :, n:] = -1e9
+            scores[b, range(n, nmax), range(n, nmax)] = 1e9
+        perm = scores_to_permutations(scores)
+        for b in range(B):
+            n = counts[b]
             # force perm rows beyond decoded vertices to self-link
             perm[b, n:, :] = 0
             perm[b, :, n:] = 0

@@ -110,6 +110,7 @@ class Pix2PolyTrainer(Trainer):
                 bos_code=self.tokenizer.BOS_code,
                 generation_steps=int(cfg.experiment.model.tokenizer.generation_steps),
                 raw_scores=True,
+                eos_code=self.tokenizer.EOS_code,  # early exit (see model.py)
             )
         )
 

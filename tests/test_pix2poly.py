@@ -193,3 +193,39 @@ class TestPix2Poly:
         variables = model.init(jax.random.PRNGKey(0), batch, y)
         (logits, _), _ = model.apply(variables, batch, y, train=True, mutable=["batch_stats"])
         assert logits.shape == (2, 7, 19)
+
+
+class TestEarlyExitDecode:
+    def test_early_exit_matches_scan(self, tiny_model_and_vars):
+        """eos_code-gated while_loop decode must agree with the fixed-length
+        scan decode per row up to (and including) that row's first EOS, emit
+        PAD afterwards, and produce the same raw-score block over the decoded
+        vertices (rows are independent: a frozen row cannot perturb others)."""
+        model, variables, batch = tiny_model_and_vars
+        steps = model.max_len - 1
+        eos = 17  # vocab 19: bos 16, eos 17, pad 18
+
+        tok_scan, sc_scan = jax.jit(
+            lambda v, b: greedy_generate(
+                model, v, b, bos_code=16, generation_steps=steps, raw_scores=True
+            )
+        )(variables, batch)
+        tok_ee, sc_ee = jax.jit(
+            lambda v, b: greedy_generate(
+                model, v, b, bos_code=16, generation_steps=steps,
+                raw_scores=True, eos_code=eos,
+            )
+        )(variables, batch)
+        tok_scan, tok_ee = np.asarray(tok_scan), np.asarray(tok_ee)
+        sc_scan, sc_ee = np.asarray(sc_scan, np.float32), np.asarray(sc_ee, np.float32)
+
+        for b in range(tok_scan.shape[0]):
+            e = np.nonzero(tok_scan[b] == eos)[0]
+            stop = int(e[0]) + 1 if len(e) else steps
+            np.testing.assert_array_equal(tok_ee[b, :stop], tok_scan[b, :stop])
+            assert (tok_ee[b, stop:] == model.pad_idx).all()
+            nv = stop // 2  # completed (y, x) vertex pairs before EOS
+            if nv:
+                np.testing.assert_allclose(
+                    sc_ee[b, :nv, :nv], sc_scan[b, :nv, :nv], atol=1e-4
+                )
