@@ -15,6 +15,12 @@ import pytest
 
 def _run_oracle(*args: str) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # earlier tests in the same suite process export P3_*_ROOT pointing at
+    # their tiny tmp fixtures (e.g. test_device_cache's 8-tile 64px split);
+    # the oracle must score the repo-default synthetic dataset, not whichever
+    # fixture ran last (this made the floors flaky-by-test-order)
+    env.pop("P3_DATASET_ROOT", None)
+    env.pop("P3_MODEL_ROOT", None)
     out = subprocess.run(
         [sys.executable, "scripts/postprocess_oracle.py", *args],
         capture_output=True,
