@@ -194,6 +194,27 @@ def _d4_points(pts, g, height, width):
 # --- cache build (host, one-time, persisted) ---------------------------------
 
 
+def _load_pack_if_current(path: str, n_expected: int):
+    """Load a persisted pack only if its row count matches the split length.
+
+    The pack filename is keyed by shape-relevant config (sizes, modality) but
+    NOT by the tile count, so a run with a different num_train on the same
+    dataset version would silently reuse a stale pack (e.g. round 4's full
+    16384-row xxl lidar pack when the config asks for an 8192-tile subset) —
+    wrong tiles AND a multi-GB upload the box can't afford. Rebuild instead."""
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as z:
+        rows = int(z["image_id"].shape[0])
+        if rows == n_expected:
+            return {k: z[k] for k in z.files}
+    logger.warning(
+        f"stale device-cache pack {path}: {rows} rows != split length "
+        f"{n_expected} — rebuilding"
+    )
+    return None
+
+
 def _cache_path(cfg, split: str) -> str:
     ds = cfg.experiment.dataset
     enc = cfg.experiment.encoder
@@ -219,12 +240,11 @@ def build_p2p_cache_arrays(cfg, split: str, tokenizer) -> dict:
 
     ensure_synthetic_dataset(cfg)
     path = _cache_path(cfg, split)
-    if os.path.isfile(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
-
     ds = P3Dataset(cfg, split, tokenizer=tokenizer)
     n = len(ds)
+    cached = _load_pack_if_current(path, n)
+    if cached is not None:
+        return cached
     nmax = tokenizer.max_num_vertices
     L = tokenizer.max_len
     H, W = int(cfg.experiment.encoder.in_height), int(cfg.experiment.encoder.in_width)
@@ -511,17 +531,16 @@ def build_hisup_cache_arrays(cfg, split: str) -> dict:
 
     ensure_synthetic_dataset(cfg)
     path = _hisup_cache_path(cfg, split)
-    if os.path.isfile(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+    ds = P3Dataset(cfg, split)
+    n = len(ds)
+    cached = _load_pack_if_current(path, n)
+    if cached is not None:
+        return cached
 
     import cv2
 
     from ..utils.coco import seg_to_mask
     from .dataset import MAX_EDGES, MAX_JUNCTIONS
-
-    ds = P3Dataset(cfg, split)
-    n = len(ds)
     m = cfg.experiment.model
     max_j = int(m.get("max_junctions") or MAX_JUNCTIONS)
     max_e = int(m.get("max_edges") or MAX_EDGES)
@@ -716,11 +735,10 @@ def build_ffl_cache_arrays(cfg, split: str) -> tuple[dict, np.ndarray]:
     class_freq = (
         ds.class_freq if ds.class_freq is not None else np.array([0.9, 0.1], np.float32)
     )
-    if os.path.isfile(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}, class_freq
-
     n = len(ds)
+    cached = _load_pack_if_current(path, n)
+    if cached is not None:
+        return cached, class_freq
     seg = cfg.experiment.model.loss.seg
     need_w = bool(seg.get("use_dist")) or bool(seg.get("use_size"))
     H, W = int(cfg.experiment.encoder.in_height), int(cfg.experiment.encoder.in_width)
