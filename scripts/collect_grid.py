@@ -12,28 +12,55 @@ import argparse
 import csv
 import os
 
+# Each grid cell is a CANDIDATE CHAIN tried in order — every candidate
+# carries its own provenance (path template, train tiles, run label) so a
+# fallback row is never mislabeled with another run's name/tile count.
+# "live:<mdir>/<name>" expands to the run's metrics CSV under --root
+# (container restarts wipe outputs/, hence the committed docs/ fallbacks).
 RUNS = [
-    # (model-dir, run-name, model, modality, live train tiles, alt) — alt =
-    # (csv template, its train tiles, its run label): a committed results CSV
-    # used when the live run dir is gone (container restarts wipe outputs/),
-    # carrying ITS OWN provenance so a fallback row is never mislabeled with
-    # the live run's name/tile count (or vice versa).
-    ("pix2poly", "p2p_image_xxl", "Pix2Poly", "image", 16384,
-     ("docs/results_round4/p2p_image_xxl_{split}.csv", 16384, "p2p_image_xxl")),
-    ("pix2poly", "p2p_lidar_xl", "Pix2Poly", "lidar", 2048,
-     ("docs/results_round4/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl")),
-    ("pix2poly", "p2p_fusion_xl", "Pix2Poly", "fusion", 2048,
-     ("docs/results_round4/p2p_fusion_xl_{split}.csv", 2048, "p2p_fusion_xl")),
-    ("hisup", "hisup_image_xl", "HiSup", "image", 2048,
-     ("docs/results_round3/hisup_{split}.csv", 256, "hisup_image")),
-    ("hisup", "hisup_lidar_xl", "HiSup", "lidar", 2048, None),
-    ("hisup", "hisup_fusion_xl", "HiSup", "fusion", 2048,
-     ("docs/results_round4/hisup_fusion_xl_{split}.csv", 2048, "hisup_fusion_xl")),
-    ("ffl", "ffl_image_xl", "FFL", "image", 2048,
-     ("docs/results_round3/ffl_xl_{split}.csv", 2048, "ffl_image_xl")),
-    ("ffl", "ffl_lidar_xl", "FFL", "lidar", 2048,
-     ("docs/results_round4/ffl_lidar_xl_{split}.csv", 2048, "ffl_lidar_xl")),
-    ("ffl", "ffl_fusion_xl", "FFL", "fusion", 2048, None),
+    ("Pix2Poly", "image", [
+        ("live:pix2poly/p2p_image_xxl", 16384, "p2p_image_xxl"),
+        ("docs/results_round4/p2p_image_xxl_{split}.csv", 16384, "p2p_image_xxl"),
+    ]),
+    ("Pix2Poly", "lidar", [
+        ("live:pix2poly/p2p_lidar_xxl8", 8192, "p2p_lidar_xxl8"),
+        ("docs/results_round5/p2p_lidar_xxl8_{split}.csv", 8192, "p2p_lidar_xxl8"),
+        ("live:pix2poly/p2p_lidar_xl", 2048, "p2p_lidar_xl"),
+        ("docs/results_round5/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl"),
+        ("docs/results_round4/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl"),
+    ]),
+    ("Pix2Poly", "fusion", [
+        ("live:pix2poly/p2p_fusion_xxl8", 8192, "p2p_fusion_xxl8"),
+        ("docs/results_round5/p2p_fusion_xxl8_{split}.csv", 8192, "p2p_fusion_xxl8"),
+        ("docs/results_round4/p2p_fusion_xl_{split}.csv", 2048, "p2p_fusion_xl"),
+    ]),
+    ("HiSup", "image", [
+        ("live:hisup/hisup_image_xl", 2048, "hisup_image_xl"),
+        ("docs/results_round5/hisup_image_xl_{split}.csv", 2048, "hisup_image_xl"),
+        ("docs/results_round3/hisup_{split}.csv", 256, "hisup_image"),
+    ]),
+    ("HiSup", "lidar", [
+        ("live:hisup/hisup_lidar_xl", 2048, "hisup_lidar_xl"),
+        ("docs/results_round5/hisup_lidar_xl_{split}.csv", 2048, "hisup_lidar_xl"),
+    ]),
+    ("HiSup", "fusion", [
+        ("live:hisup/hisup_fusion_xl", 2048, "hisup_fusion_xl"),
+        ("docs/results_round5/hisup_fusion_xl_{split}.csv", 2048, "hisup_fusion_xl"),
+        ("docs/results_round4/hisup_fusion_xl_{split}.csv", 2048, "hisup_fusion_xl"),
+    ]),
+    ("FFL", "image", [
+        ("live:ffl/ffl_image_xl", 2048, "ffl_image_xl"),
+        ("docs/results_round3/ffl_xl_{split}.csv", 2048, "ffl_image_xl"),
+    ]),
+    ("FFL", "lidar", [
+        ("live:ffl/ffl_lidar_xl", 2048, "ffl_lidar_xl"),
+        ("docs/results_round5/ffl_lidar_xl_{split}.csv", 2048, "ffl_lidar_xl"),
+        ("docs/results_round4/ffl_lidar_xl_{split}.csv", 2048, "ffl_lidar_xl"),
+    ]),
+    ("FFL", "fusion", [
+        ("live:ffl/ffl_fusion_xl", 2048, "ffl_fusion_xl"),
+        ("docs/results_round5/ffl_fusion_xl_{split}.csv", 2048, "ffl_fusion_xl"),
+    ]),
 ]
 
 COLS = ["IoU", "C-IoU", "NR", "AP", "AP50", "AR100", "bAP", "polis", "chamfer", "mta", "num_polygons"]
@@ -48,13 +75,22 @@ def main() -> None:
     args = ap.parse_args()
 
     rows = []
-    for mdir, name, model, modality, ntrain, alt in RUNS:
-        run_label = name
-        path = os.path.join(args.root, mdir, "224", name, "results", f"metrics_{args.split}.csv")
-        if not os.path.exists(path) and alt:
-            path, ntrain, run_label = alt[0].format(split=args.split), alt[1], alt[2]
-        if not os.path.exists(path):
-            rows.append({"model": model, "modality": modality, "run": name, "status": "missing"})
+    for model, modality, candidates in RUNS:
+        path = None
+        ntrain = run_label = None
+        for tmpl, nt, label in candidates:
+            if tmpl.startswith("live:"):
+                mdir, name = tmpl[len("live:"):].split("/")
+                p = os.path.join(args.root, mdir, "224", name, "results",
+                                 f"metrics_{args.split}.csv")
+            else:
+                p = tmpl.format(split=args.split)
+            if os.path.exists(p):
+                path, ntrain, run_label = p, nt, label
+                break
+        if path is None:
+            rows.append({"model": model, "modality": modality,
+                         "run": candidates[0][2], "status": "missing"})
             continue
         with open(path) as f:
             # last row = most recent eval of this run
