@@ -15,18 +15,27 @@ def _inputs(batch: dict) -> dict:
     return {k: batch[k] for k in ("images", "lidar", "lidar_mask") if k in batch}
 
 
-def make_train_step(model, weights: dict, size: int):
+def make_train_step(model, weights: dict, size: int, remat: bool = False):
+    """remat=True (training.remat) wraps the forward in `jax.checkpoint`:
+    activations are recomputed during backward instead of stored — the
+    standard TPU FLOPs-for-HBM trade that lets the 97M-param fusion_hrnet
+    train with a resident multi-GB device cache on a 16 GB v5e."""
+
+    def fwd(params, batch_stats, inputs):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, inputs, train=True, mutable=["batch_stats"])
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         targets = encode_targets(batch, size)
 
         def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            outputs, mut = model.apply(
-                variables, _inputs(batch), train=True, mutable=["batch_stats"]
-            )
+            outputs, mut = fwd(params, state.batch_stats, _inputs(batch))
             losses = hisup_losses(outputs, targets)
             total = sum(weights[k] * v for k, v in losses.items())
             return total, (mut.get("batch_stats"), losses)

@@ -90,7 +90,8 @@ class HiSupTrainer(Trainer):
 
         from .hisup_step import make_train_step, make_val_step
 
-        self._train_step = make_train_step(model, weights, size)
+        remat = bool(cfg.training.get("remat") or False)
+        self._train_step = make_train_step(model, weights, size, remat=remat)
         self._val_step = make_val_step(model, weights, size)
 
         from ..predict.predictor_hisup import HiSupPredictor

@@ -293,3 +293,37 @@ class TestPredictDoubleBuffering:
         with open(pred_file) as f:
             anns = _json.load(f)
         assert [a["image_id"] for a in anns] == [0, 1, 2, 3, 4, 5]
+
+
+def test_remat_train_step_matches_plain(key):
+    """training.remat wraps the forward in jax.checkpoint — a pure
+    memory/FLOPs trade that must not change the math: same loss, same
+    updated params as the plain step from the same initial state."""
+    from pixelspointspolygons_tpu.train.hisup_step import make_train_step
+    from pixelspointspolygons_tpu.train.state import create_train_state, make_optimizer
+
+    model = HiSup(
+        encoder_cfg={
+            "name": "vit_cnn", "img_size": 32, "patch_size": 8,
+            "dim": 32, "depth": 1, "num_heads": 2, "out_size": 32,
+        },
+        dim=32,
+        pred_size=32,
+    )
+    batch = dict(tiny_batch(), images=jnp.linspace(0, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3))
+    variables = model.init(key, {"images": batch["images"]})
+    tx = make_optimizer("adamw", lambda _: 1e-3, weight_decay=0.0)
+    weights = {k: 1.0 for k in ("loss_jloc", "loss_joff", "loss_mask", "loss_afm", "loss_remask")}
+
+    outs = []
+    for remat in (False, True):
+        # the train step donates the state; give each branch its own copy
+        v = jax.tree_util.tree_map(jnp.copy, variables)
+        state = create_train_state(model, v, tx)
+        step = make_train_step(model, weights, 32, remat=remat)
+        new_state, metrics = step(state, batch)
+        outs.append((new_state, metrics))
+    (s0, m0), (s1, m1) = outs
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
