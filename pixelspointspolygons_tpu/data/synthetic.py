@@ -222,7 +222,18 @@ def write_synthetic_dataset(cfg, splits=("train", "val", "test"), seed: int = 42
             img_name = f"images/{split}/tile_{next_img_id:05d}.png"
             lidar_name = f"lidar/{split}/tile_{next_img_id:05d}.npz"
             cv2.imwrite(os.path.join(root, img_name), image[..., ::-1])
-            np.savez_compressed(os.path.join(root, lidar_name), points=points)
+            # generate_tile returns points in pixel coords (y = row, downward).
+            # Store them as WORLD coords (y up, origin at the tile's bottom
+            # edge) so the loader's reference-exact world->pixel conversion
+            # (dataset.py _lidar, mirroring p3_coco.py:82-84:
+            # col=(x-top_left_x)/res, row=height-(y-top_left_y)/res — note the
+            # reference's "top_left[1]" is the tile's MINIMUM world y) maps
+            # them back onto the image grid exactly.  Stamping pixel-coord
+            # points with top_left=[0,size] used to collapse every point to
+            # row 224 after the conversion — zero y-signal for lidar models.
+            world = points.copy()
+            world[:, 1] = size - world[:, 1]
+            np.savez_compressed(os.path.join(root, lidar_name), points=world)
             images.append(
                 {
                     "id": next_img_id,
@@ -231,8 +242,7 @@ def write_synthetic_dataset(cfg, splits=("train", "val", "test"), seed: int = 42
                     "file_name": os.path.basename(img_name),
                     "image_path": img_name,
                     "lidar_path": lidar_name,
-                    # world == pixel coords for synthetic tiles
-                    "top_left": [0.0, float(size)],
+                    "top_left": [0.0, 0.0],
                     "res_x": 1.0,
                 }
             )

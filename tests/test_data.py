@@ -5,6 +5,7 @@ synthetic dataset round-trip through all three model item builders, loader
 padding/sharding, COCO RLE round-trip."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -396,3 +397,94 @@ class TestLoaderProcessSharding:
         loader = Loader(self._dataset(5), batch_size=2, process_index=0, process_count=1)
         ids = [int(v) for b in loader for v in b["image_id"][b["sample_valid"]]]
         assert ids == [0, 1, 2, 3, 4]
+
+
+class TestSyntheticLidarGeoreference:
+    """Regression: the synthetic generator once stamped pixel-coord lidar npz
+    with top_left=[0, size]; the loader's reference world->pixel conversion
+    (dataset.py _lidar, p3_coco.py:82-84) then collapsed every point to
+    row==height — lidar carried zero y-signal.  Pin that points flowing
+    through P3Dataset land on the GT footprints (z-thresholded points must
+    overlap the building masks)."""
+
+    def test_lidar_points_align_with_gt(self, tmp_path_factory):
+        import scipy.ndimage as ndi
+
+        from pixelspointspolygons_tpu.config import compose
+        from pixelspointspolygons_tpu.data.dataset import P3Dataset
+        from pixelspointspolygons_tpu.data.synthetic import ensure_synthetic_dataset
+        from pixelspointspolygons_tpu.models.pix2poly import Tokenizer
+        from pixelspointspolygons_tpu.utils.coco import seg_to_mask
+
+        root = tmp_path_factory.mktemp("lidar_geo")
+        os.environ["P3_DATASET_ROOT"] = str(root / "data")
+        os.environ["P3_MODEL_ROOT"] = str(root / "out")
+        try:
+            cfg = compose(
+                [
+                    "experiment=p2p_lidar",
+                    "dataset=synthetic",
+                    "run_type=debug",
+                    "experiment.dataset.num_train=2",
+                    "experiment.dataset.num_val=3",
+                    "experiment.dataset.num_test=2",
+                ]
+            )
+            ensure_synthetic_dataset(cfg)
+            ds = P3Dataset(cfg, "val", tokenizer=Tokenizer(cfg))
+            for idx in range(len(ds)):
+                item = ds[idx]
+                pts = np.asarray(item["lidar"])
+                msk = np.asarray(item["lidar_mask"]).astype(bool)
+                v = pts[msk]
+                info = ds.coco.imgs[ds.tile_ids[idx]]
+                H, W = info["height"], info["width"]
+                gt = np.zeros((H, W), bool)
+                for a in ds.coco.imgToAnns[info["id"]]:
+                    gt |= seg_to_mask(a["segmentation"], H, W).astype(bool)
+                if not gt.any():
+                    continue
+                # x and y must both spread over the tile, not collapse
+                assert np.ptp(v[:, 0]) > W / 2 and np.ptp(v[:, 1]) > H / 2
+                xi = np.clip(v[:, 0].astype(int), 0, W - 1)
+                yi = np.clip(v[:, 1].astype(int), 0, H - 1)
+                pd = np.zeros((H, W), bool)
+                pd[yi[v[:, 2] > 25.0], xi[v[:, 2] > 25.0]] = True  # z in [0,100]
+                pd = ndi.binary_closing(pd, np.ones((5, 5)))
+                inter = (gt & pd).sum()
+                union = (gt | pd).sum()
+                assert inter / union > 0.8, (
+                    f"tile {idx}: z-thresholded lidar IoU vs GT {inter/union:.3f}"
+                )
+        finally:
+            os.environ.pop("P3_DATASET_ROOT", None)
+            os.environ.pop("P3_MODEL_ROOT", None)
+
+    def test_world_to_pixel_conversion_reference_parity(self, tmp_path):
+        """The loader formula itself (col=(x-tlx)/res, row=H-(y-tly)/res) on a
+        hand-built world-coord npz: a point at the tile's top-left corner maps
+        to row 0, bottom-left to row H."""
+        from pixelspointspolygons_tpu.data import dataset as dmod
+
+        pts = np.array(
+            [[500.0, 1000.0, 3.0],  # top-left corner (y_world max)
+             [500.0, 944.0, 9.0]],  # bottom-left corner (y_world min)
+            np.float32,
+        )
+        np.savez(tmp_path / "t.npz", points=pts)
+        info = {
+            "lidar_path": "t.npz",
+            "top_left": [500.0, 944.0],
+            "res_x": 0.25,
+            "height": 224,
+            "width": 224,
+        }
+
+        class Stub:
+            dataset_dir = str(tmp_path)
+            use_lidar = True
+            z_range = 100.0
+
+        out = dmod.P3Dataset._lidar(Stub(), info)
+        np.testing.assert_allclose(out[0, :2], [0.0, 0.0], atol=1e-4)
+        np.testing.assert_allclose(out[1, :2], [0.0, 224.0], atol=1e-4)
