@@ -215,6 +215,15 @@ def _load_pack_if_current(path: str, n_expected: int):
     return None
 
 
+def _atomic_savez(path: str, arrays: dict) -> None:
+    """Publish a cache pack atomically (tmp + rename): packs are built
+    lazily by whichever process needs them first, and a reader must never
+    np.load a half-written file."""
+    tmp = f"{path}.tmp.{os.getpid()}.npz"  # savez appends .npz if missing
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 def _cache_path(cfg, split: str) -> str:
     ds = cfg.experiment.dataset
     enc = cfg.experiment.encoder
@@ -299,7 +308,7 @@ def build_p2p_cache_arrays(cfg, split: str, tokenizer) -> dict:
             lidar[i, :k] = p[:k]
         arrays["lidar"] = lidar
         arrays["lidar_n"] = np.minimum(counts, cap)
-    np.savez(path, **arrays)
+    _atomic_savez(path, arrays)
     logger.info(f"packed {split} device cache ({n} tiles) → {path}")
     return arrays
 
@@ -618,7 +627,7 @@ def build_hisup_cache_arrays(cfg, split: str) -> dict:
             lidar[i, :k] = p[:k]
         arrays["lidar"] = lidar
         arrays["lidar_n"] = np.minimum(counts, cap)
-    np.savez(path, **arrays)
+    _atomic_savez(path, arrays)
     logger.info(f"packed {split} hisup device cache ({n} tiles) → {path}")
     return arrays
 
@@ -785,7 +794,7 @@ def build_ffl_cache_arrays(cfg, split: str) -> tuple[dict, np.ndarray]:
             lidar[i, :k] = p[:k]
         arrays["lidar"] = lidar
         arrays["lidar_n"] = np.minimum(counts, cap)
-    np.savez(path, **arrays)
+    _atomic_savez(path, arrays)
     logger.info(f"packed {split} ffl device cache ({n} tiles) → {path}")
     return arrays, class_freq
 
