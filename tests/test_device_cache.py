@@ -429,18 +429,35 @@ def test_lidar_voxelizer_parity(tmp_path_factory):
             np.asarray(td.pillar_id[b])[np.asarray(td.keep[b])], minlength=n_cells + 1
         )
         np.testing.assert_array_equal(kd, kh)  # same pillars survive, count 1
-        # each path's kept point belongs to the same pillar's point set in the
-        # other path (subset property = unbiased first-come over a permutation)
+        # each path's kept point belongs to the same pillar's FULL point set in
+        # the other path (subset property = unbiased first-come over a
+        # permutation). The full per-pillar sets come from the regime-1
+        # assignment (ah/ad, capacity covers everything): regime 2's own
+        # pillar_id is n_cells for the over-capacity points it DROPS, so it
+        # cannot serve as "the pillar's point set".
         hset = {
             (int(p), round(float(x), 4), round(float(y), 4), round(float(z), 4))
             for p, (x, y, z) in zip(
-                np.asarray(th.pillar_id[b]), np.asarray(th.points[b])
+                np.asarray(ah.pillar_id[b]), np.asarray(ah.points[b])
             )
             if p < n_cells
         }
+        dset = {
+            (int(p), round(float(x), 4), round(float(y), 4), round(float(z), 4))
+            for p, (x, y, z) in zip(
+                np.asarray(ad.pillar_id[b]), np.asarray(ad.points[b])
+            )
+            if p < n_cells
+        }
+        assert hset == dset  # same (pillar, point) multiset through assignment
+        n_checked = 0
         for p, keep, (x, y, z) in zip(
             np.asarray(td.pillar_id[b]), np.asarray(td.keep[b]), np.asarray(td.points[b])
         ):
             if keep:
                 key = (int(p), round(float(x), 4), round(float(y), 4), round(float(z), 4))
                 assert key in hset
+                n_checked += 1
+        # the fixed georeference must yield real in-range points — pre-fix this
+        # loop was vacuously empty (every point clipped out of range)
+        assert n_checked > 0
