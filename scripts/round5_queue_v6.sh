@@ -111,24 +111,24 @@ evalrun  p2p_fusion p2p_fusion_xl pix2poly test 1200
 
 # ---- 4) HiSup lidar (graded #4): pillar trunk from the new FFL lidar.
 trainrun hisup_lidar hisup_lidar_xl 20 2000 3 warm:$CK/ffl/224/ffl_lidar_xl/checkpoints "$B4" training.device_cache=true
-evalrun  hisup_lidar hisup_lidar_xl hisup val  800
-evalrun  hisup_lidar hisup_lidar_xl hisup test 800
+evalrun  hisup_lidar hisup_lidar_xl hisup val 1200
+evalrun hisup_lidar hisup_lidar_xl hisup test 1200
 
 # ---- 5) FFL fusion: ViT trunk from FFL image.
 trainrun ffl_fusion ffl_fusion_xl 14 1800 3 warm:$CK/ffl/224/ffl_image_xl/checkpoints "$B8" training.device_cache=auto
-evalrun  ffl_fusion ffl_fusion_xl ffl val  800
-evalrun  ffl_fusion ffl_fusion_xl ffl test 800
+evalrun  ffl_fusion ffl_fusion_xl ffl val 1200
+evalrun ffl_fusion ffl_fusion_xl ffl test 1200
 
 # ---- 6) HiSup fusion: host loader (the il cache OOMs the 16GB v5e even at
 # batch 4); heads warm from hisup_lidar if it trained.
 trainrun hisup_fusion hisup_fusion_xl 10 2400 2 warm:$CK/hisup/224/hisup_lidar_xl/checkpoints "$B8" training.device_cache=false
-evalrun  hisup_fusion hisup_fusion_xl hisup val  800
-evalrun  hisup_fusion hisup_fusion_xl hisup test 800
+evalrun  hisup_fusion hisup_fusion_xl hisup val 1200
+evalrun hisup_fusion hisup_fusion_xl hisup test 1200
 
 # ---- 7) Bonus (VERDICT r4 weak #3): HiSup image on xl data.
 trainrun hisup_image hisup_image_xl 20 1800 3 warm:$CK/hisup/224/hisup_fusion_xl/checkpoints "$B8" training.device_cache=true
-evalrun  hisup_image hisup_image_xl hisup val  800
-evalrun  hisup_image hisup_image_xl hisup test 800
+evalrun  hisup_image hisup_image_xl hisup val 1200
+evalrun hisup_image hisup_image_xl hisup test 1200
 
 echo "[$(stamp)] QUEUE v6 done (left=$(left)s) — starting harvest"
 bash scripts/round5_harvest.sh
