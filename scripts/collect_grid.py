@@ -23,11 +23,15 @@ RUNS = [
         ("docs/results_round4/p2p_image_xxl_{split}.csv", 16384, "p2p_image_xxl"),
     ]),
     ("Pix2Poly", "lidar", [
+        ("live:pix2poly/p2p_lidar_xxl6", 6144, "p2p_lidar_xxl6"),
+        ("docs/results_round5/p2p_lidar_xxl6_{split}.csv", 6144, "p2p_lidar_xxl6"),
         ("live:pix2poly/p2p_lidar_xl", 2048, "p2p_lidar_xl"),
         ("docs/results_round5/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl"),
         ("docs/results_round4/p2p_lidar_xl_{split}.csv", 2048, "p2p_lidar_xl"),
     ]),
     ("Pix2Poly", "fusion", [
+        ("live:pix2poly/p2p_fusion_xxl6", 6144, "p2p_fusion_xxl6"),
+        ("docs/results_round5/p2p_fusion_xxl6_{split}.csv", 6144, "p2p_fusion_xxl6"),
         ("live:pix2poly/p2p_fusion_xl", 2048, "p2p_fusion_xl"),
         ("docs/results_round5/p2p_fusion_xl_{split}.csv", 2048, "p2p_fusion_xl"),
         ("docs/results_round4/p2p_fusion_xl_{split}.csv", 2048, "p2p_fusion_xl"),

@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 
 # driver round budget ends at 1787015954+43200=1787059154; leave ~20 min for
 # the final commit + driver bench
-DEADLINE=${HARVEST_DEADLINE:-1787058000}
+DEADLINE=${HARVEST_DEADLINE:-1787082300}
 LOGD=outputs/round5_logs
 CK=outputs/Synthetic_output
 E2E=$LOGD/predict_e2e.jsonl
@@ -46,7 +46,21 @@ e2e () {
 # P2P at batch 128 = the measured decode throughput peak (BENCH_TABLE
 # decode_batch_scan); HiSup/FFL at the production batch 32. One cell per
 # family — whichever trained this round, graded modality first.
-e2e p2p_lidar p2p_lidar_xl pix2poly 128 900
+PNAME=""; PEXP2=""; PCFG=""
+XXL6="experiment.dataset.version=v2xxl experiment.dataset.num_train=6144 experiment.dataset.num_val=32 experiment.dataset.num_test=32"
+for trip in "p2p_lidar_xxl6 p2p_lidar xxl6" "p2p_fusion_xxl6 p2p_fusion xxl6" "p2p_lidar_xl p2p_lidar xl" "p2p_image_xxl6 p2p_image xxl6"; do
+  set -- $trip
+  if [ -n "$(pick_ckpt "$CK/pix2poly/224/$1/checkpoints" latest best_val_iou best_val_loss)" ]; then
+    PNAME=$1; PEXP2=$2; PCFG=$3; break
+  fi
+done
+if [ -n "$PNAME" ]; then
+  if [ "$PCFG" = xxl6 ]; then
+    e2e $PEXP2 $PNAME pix2poly 128 900 $XXL6
+  else
+    e2e $PEXP2 $PNAME pix2poly 128 900
+  fi
+fi
 
 HNAME=""; HEXP2=""
 for pair in "hisup_fusion_xl hisup_fusion" "hisup_lidar_xl hisup_lidar" "hisup_image_xl hisup_image"; do
@@ -107,7 +121,7 @@ fi
 # ---- 3) bank the round-5 eval CSVs as committed evidence ------------------
 # (container restarts wipe outputs/; docs/ is git-tracked)
 mkdir -p docs/results_round5
-for d in "$CK"/*/224/*_xl; do
+for d in "$CK"/*/224/*_xl "$CK"/*/224/*_xxl6; do
   n=$(basename "$d")
   for s in val test; do
     [ -f "$d/results/metrics_${s}.csv" ] && cp "$d/results/metrics_${s}.csv" "docs/results_round5/${n}_${s}.csv"
