@@ -99,16 +99,18 @@ trainrun ffl_image ffl_image_xl 10 1500 3 none "$XL" "$B16" training.device_cach
 trainrun ffl_lidar ffl_lidar_xl 10 1800 3 warm:$CK/ffl/224/ffl_image_xl/checkpoints "$XL" "$B8" training.device_cache=auto
 
 # ---- 3) Pix2Poly image on the 6144-tile xxl subset: decoder donor
-# (image grid row is banked from round 4 at 16384 tiles; no eval).
-trainrun p2p_image p2p_image_xxl6 45 3600 50 none "$XXL6" "$B16" training.device_cache=true
+# (image grid row is banked from round 4 at 16384 tiles; no eval).  ViT trunk
+# warm from the trained ffl_image vit_cnn (round-4 flagship recipe) — the
+# fuzzy matcher grafts the shared ViT-S/8 suffixes, decoder starts fresh.
+trainrun p2p_image p2p_image_xxl6 45 3600 50 warm:$CK/ffl/224/ffl_image_xl/checkpoints "$XXL6" "$B16" training.device_cache=true
 
 # ---- 4) Pix2Poly lidar (graded #2): biggest box, warm decoder from image.
-trainrun p2p_lidar p2p_lidar_xxl6 55 11500 10 warm:$CK/pix2poly/224/p2p_image_xxl6/checkpoints "$XXL6" "$B8" training.device_cache=true
+trainrun p2p_lidar p2p_lidar_xxl6 55 9800 10 warm:$CK/pix2poly/224/p2p_image_xxl6/checkpoints "$XXL6" "$B8" training.device_cache=true
 evalrun  p2p_lidar p2p_lidar_xxl6 pix2poly val  1400 "$XXL6"
 evalrun  p2p_lidar p2p_lidar_xxl6 pix2poly test 1400 "$XXL6"
 
 # ---- 5) Pix2Poly fusion (graded #3): warm from the NEW lidar run.
-trainrun p2p_fusion p2p_fusion_xxl6 30 6500 10 warm:$CK/pix2poly/224/p2p_lidar_xxl6/checkpoints "$XXL6" "$B8" training.device_cache=true
+trainrun p2p_fusion p2p_fusion_xxl6 30 6000 10 warm:$CK/pix2poly/224/p2p_lidar_xxl6/checkpoints "$XXL6" "$B8" training.device_cache=true
 evalrun  p2p_fusion p2p_fusion_xxl6 pix2poly val  1400 "$XXL6"
 evalrun  p2p_fusion p2p_fusion_xxl6 pix2poly test 1400 "$XXL6"
 
@@ -117,16 +119,17 @@ trainrun hisup_lidar hisup_lidar_xl 20 3200 4 warm:$CK/ffl/224/ffl_lidar_xl/chec
 evalrun  hisup_lidar hisup_lidar_xl hisup val  1200 "$XL"
 evalrun  hisup_lidar hisup_lidar_xl hisup test 1200 "$XL"
 
-# ---- 7) FFL fusion: trunk from FFL lidar (pillar net + vit_cnn trunk).
-trainrun ffl_fusion ffl_fusion_xl 14 2000 3 warm:$CK/ffl/224/ffl_lidar_xl/checkpoints "$XL" "$B8" training.device_cache=auto
-evalrun  ffl_fusion ffl_fusion_xl ffl val  1000 "$XL"
-evalrun  ffl_fusion ffl_fusion_xl ffl test 1000 "$XL"
-
-# ---- 8) HiSup fusion (graded #4): remat + cache-auto; the HBM fit check
+# ---- 7) HiSup fusion (graded #4): remat + cache-auto; the HBM fit check
 # falls back to the host loader if the il cache + remat still doesn't fit.
+# Runs BEFORE ffl_fusion: graded cells get budget priority under the deadline.
 trainrun hisup_fusion hisup_fusion_xl 10 3800 2 warm:$CK/hisup/224/hisup_lidar_xl/checkpoints "$XL" "$B8" training.device_cache=auto training.remat=true
 evalrun  hisup_fusion hisup_fusion_xl hisup val  1200 "$XL"
 evalrun  hisup_fusion hisup_fusion_xl hisup test 1200 "$XL"
+
+# ---- 8) FFL fusion: trunk from FFL lidar (pillar net + vit_cnn trunk).
+trainrun ffl_fusion ffl_fusion_xl 14 2000 3 warm:$CK/ffl/224/ffl_lidar_xl/checkpoints "$XL" "$B8" training.device_cache=auto
+evalrun  ffl_fusion ffl_fusion_xl ffl val  1000 "$XL"
+evalrun  ffl_fusion ffl_fusion_xl ffl test 1000 "$XL"
 
 # ---- 9) Bonus (VERDICT r4 weak #3): HiSup image on xl data.
 trainrun hisup_image hisup_image_xl 20 2600 4 warm:$CK/hisup/224/hisup_fusion_xl/checkpoints "$XL" "$B8" training.device_cache=true
